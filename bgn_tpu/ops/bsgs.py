@@ -1,0 +1,259 @@
+"""Batched baby-step/giant-step discrete-log decryption engine.
+
+TPU redesign of the reference's BSGS (gsbs.go): the string-keyed sync.Map
+tables (gsbs.go:12-15, a package-global wart) become device-resident sorted
+digest tables, and the sequential giant-step lookup loop (gsbs.go:77-103)
+becomes a batched scan whose bound+1 candidate points are normalized with
+ONE Montgomery batch inversion and looked up via vectorized searchsorted.
+
+Exact reference indexing is preserved:
+  - table: gen^(j+1) -> j for j in 0..bound_t, bound_t =
+    ceil(sqrt(msg_space)) + 1 (gsbs.go:44, built from aux=gen upward);
+  - lookup: bound = ceil(sqrt(msg_space)) (gsbs.go:60); hit at giant step i
+    with table value j means m = i*bound + j + 1 (gsbs.go:98);
+  - identity csk means m = 0 (recoverMessage, bgn.go:359-362);
+  - on failure the inverse is tried and the negation returned
+    (decrypt, bgn.go:235-242) -- here fused as a second lane, positive
+    result preferred like the reference's call order.
+
+Digests are salted 32-bit linear hashes of the Montgomery limbs; the host
+table builder re-salts until table digests are collision-free, and every
+device hit is verified against the full stored limbs, so false positives
+are impossible and false negatives cannot occur by construction.
+
+GT inverses use conjugation: GT is inside the unitary subgroup of F_p^2
+(order n divides p+1), so z^-1 = conj(z) -- no Fermat inversion needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hostmath as hm
+from ..fieldcore import limbs as lb
+from ..fieldcore import montgomery as mg
+from ..fieldcore.montgomery import MontCtx
+from . import fp2
+from .curve import AffinePoint, JacPoint, dbl, madd, normalize, to_jac
+
+_HASH_MIX = 0x9E3779B1
+
+
+def _host_mont(x: int, p: int, L: int) -> np.ndarray:
+    """Montgomery form limbs of x (host)."""
+    R = 1 << (16 * L)
+    return lb.int_to_limbs(x * R % p, L)
+
+
+def _host_digest(words: np.ndarray, salts: np.ndarray) -> np.ndarray:
+    """words [W, T] uint32 -> digest [T]; linear salted hash mod 2^32."""
+    return (words.astype(np.uint64) * salts[:, None].astype(np.uint64)
+            ).sum(axis=0).astype(np.uint32)
+
+
+def _device_digest(words, salts):
+    """words [W, *batch] uint32, salts [W] -> [*batch] uint32."""
+    s = salts.reshape((salts.shape[0],) + (1,) * (words.ndim - 1))
+    return jnp.sum(words * s, axis=0, dtype=jnp.uint32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupTable:
+    """Sorted digest table for one group (G1 or GT)."""
+
+    digests: jax.Array      # [T] uint32, sorted
+    values: jax.Array       # [T] uint32, j for each digest
+    keys: jax.Array         # [W, L, T] full Montgomery limbs for verification
+    salts: jax.Array        # [W*L] uint32 hash salts
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DecryptTables:
+    """Everything device-side decryption needs (analog of the reference's
+    PrecomputeTables globals + gsk values, gsbs.go:41-51)."""
+
+    table_g1: GroupTable
+    table_gt: GroupTable
+    gsk_g1: AffinePoint         # P^q1
+    gamma_inv_g1: AffinePoint   # (P^q1)^-bound
+    gsk_gt: jax.Array           # e(P,P)^q1, [2, L]
+    gamma_inv_gt: jax.Array     # [2, L]
+    bound: int = dataclasses.field(metadata=dict(static=True))
+    bound_t: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _build_group_table(L: int, elems, to_words, rng) -> GroupTable:
+    """elems: list of T group elements (host); to_words: elem -> [W*L] uint32."""
+    T = len(elems)
+    words = np.stack([to_words(e) for e in elems], axis=1)  # [W*L, T]
+    while True:
+        salts = np.asarray(
+            [rng.getrandbits(32) | 1 for _ in range(words.shape[0])],
+            dtype=np.uint32)
+        digests = _host_digest(words, salts)
+        if len(np.unique(digests)) == T:
+            break
+    order = np.argsort(digests, kind="stable")
+    W = words.shape[0] // L
+    keys = words[:, order].reshape(W, L, T)
+    return GroupTable(
+        digests=jnp.asarray(digests[order]),
+        values=jnp.asarray(np.arange(T, dtype=np.uint32)[order]),
+        keys=jnp.asarray(keys),
+        salts=jnp.asarray(salts),
+    )
+
+
+def build_decrypt_tables(key: hm.GoldenKey, ctx: MontCtx, rng) -> DecryptTables:
+    """Host-side table build (analog of PrecomputeTables, gsbs.go:17-51).
+
+    gen_g1 = P^q1, gen_gt = e(P,P)^q1 (ComputeDecryptionPreprocessing,
+    bgn.go:142-149)."""
+    params, p, L = key.params, key.params.p, ctx.L
+    q1, msg_space = params.q1, key.msg_space
+    bound_t = int(math.ceil(math.sqrt(float(msg_space)))) + 1
+    bound = int(math.ceil(math.sqrt(float(msg_space))))
+
+    gen_g1 = hm.ec_mul(q1, key.P, p)
+    gen_gt = hm.fp2_pow(key.gt_base(), q1, p)
+
+    # baby-step tables: entries gen^(j+1), j = 0..bound_t
+    g1_elems = []
+    aux = gen_g1
+    for _ in range(bound_t + 1):
+        g1_elems.append(aux)
+        aux = hm.ec_add(aux, gen_g1, p)
+    gt_elems = []
+    auxt = gen_gt
+    for _ in range(bound_t + 1):
+        gt_elems.append(auxt)
+        auxt = hm.fp2_mul(auxt, gen_gt, p)
+
+    def pt_words(P):
+        return np.concatenate([_host_mont(P[0], p, L), _host_mont(P[1], p, L)])
+
+    def gt_words(z):
+        return np.concatenate([_host_mont(z[0], p, L), _host_mont(z[1], p, L)])
+
+    from ..utils import convert
+    gamma_g1 = hm.ec_mul(bound, gen_g1, p)
+    gamma_gt = hm.fp2_pow(gen_gt, bound, p)
+    return DecryptTables(
+        table_g1=_build_group_table(L, g1_elems, pt_words, rng),
+        table_gt=_build_group_table(L, gt_elems, gt_words, rng),
+        gsk_g1=convert.point_from_host(ctx, gen_g1),
+        gamma_inv_g1=convert.point_from_host(ctx, hm.ec_neg(gamma_g1, p)),
+        gsk_gt=convert.fp2_single_from_host(ctx, gen_gt),
+        gamma_inv_gt=convert.fp2_single_from_host(
+            ctx, hm.fp2_conj(gamma_gt, p)),
+        bound=bound,
+        bound_t=bound_t,
+    )
+
+
+def _lookup(table: GroupTable, words):
+    """words [W*L, *batch] -> (hit {0,1}, value) via searchsorted + verify."""
+    batch_shape = words.shape[1:]
+    d = _device_digest(words, table.salts)                   # [*batch]
+    idx = jnp.searchsorted(table.digests, d.reshape(-1),
+                           side="left").reshape(batch_shape)
+    T = table.digests.shape[0]
+    idx = jnp.minimum(idx, T - 1).astype(jnp.int32)
+    cand = table.keys.reshape(-1, T)[:, idx]                 # [W*L, *batch]
+    hit = jnp.all(cand == words, axis=0).astype(jnp.uint32)
+    val = table.values[idx].astype(jnp.uint32)
+    return hit, val
+
+
+def _first_hit(hits, vals, bound: int):
+    """hits, vals: [bound+1, *batch] -> (found, m) with reference indexing
+    m = i*bound + val + 1 for the FIRST hit (gsbs.go:98)."""
+    found = jnp.any(hits.astype(bool), axis=0)
+    i_star = jnp.argmax(hits, axis=0).astype(jnp.uint32)
+    val = jnp.take_along_axis(vals, i_star[None].astype(jnp.int32),
+                              axis=0)[0]
+    m = i_star * jnp.uint32(bound) + val + jnp.uint32(1)
+    return found.astype(jnp.uint32), m
+
+
+def bsgs_g1(ctx: MontCtx, tables: DecryptTables, csk: JacPoint):
+    """Giant-step scan + lookup for a batch of G1 points csk = C^q1.
+
+    Returns (found {0,1}, m int32 signed) of batch shape; matches the
+    reference's positive-then-negative order (bgn.go:235-242)."""
+    bound = tables.bound
+    batch_shape = csk.Z.shape[1:]
+    L = ctx.L
+    base = tables.gamma_inv_g1
+    base = AffinePoint(jnp.broadcast_to(base.x.reshape((L,) + (1,) * len(batch_shape)), (L,) + batch_shape),
+                       jnp.broadcast_to(base.y.reshape((L,) + (1,) * len(batch_shape)), (L,) + batch_shape),
+                       jnp.broadcast_to(base.inf.reshape((1,) * len(batch_shape)), batch_shape))
+    base2 = dbl(ctx, to_jac(ctx, base))
+
+    neg_csk = JacPoint(csk.X, mg.mod_neg(ctx, csk.Y), csk.Z)
+    # two lanes: positive and negative, stacked on a new leading batch axis
+    both = JacPoint(*(jnp.stack([a, b], axis=1)
+                      for a, b in zip(csk, neg_csk)))
+    base_b = AffinePoint(base.x[:, None], base.y[:, None], base.inf[None])
+    base2_b = JacPoint(base2.X[:, None], base2.Y[:, None], base2.Z[:, None])
+
+    def chain(v, _):
+        return madd(ctx, v, base_b, base2_b), v
+
+    _, auxs = jax.lax.scan(chain, both, None, length=bound + 1)
+    # auxs: JacPoint with arrays [bound+1, L, 2, *batch];
+    # normalize all candidates in one batch inversion
+    X = jnp.moveaxis(auxs.X, 0, 1)    # [L, bound+1, 2, *batch]
+    Y = jnp.moveaxis(auxs.Y, 0, 1)
+    Z = jnp.moveaxis(auxs.Z, 0, 1)
+    aff = normalize(ctx, JacPoint(X, Y, Z))
+    words = jnp.concatenate([aff.x, aff.y], axis=0)  # [2L, bound+1, 2, *b]
+    hits, vals = _lookup(tables.table_g1, words)
+    hits = hits * (1 - aff.inf)      # identity never matches a table entry
+    found_p, m_p = _first_hit(hits[:, 0], vals[:, 0], bound)
+    found_n, m_n = _first_hit(hits[:, 1], vals[:, 1], bound)
+
+    is_zero_ct = lb.is_zero(csk.Z)
+    m_signed = jnp.where(found_p.astype(bool), m_p.astype(jnp.int32),
+                         -m_n.astype(jnp.int32))
+    m_signed = jnp.where(is_zero_ct.astype(bool), 0, m_signed)
+    found = (is_zero_ct | found_p | found_n).astype(jnp.uint32)
+    return found, m_signed
+
+
+def bsgs_gt(ctx: MontCtx, tables: DecryptTables, csk):
+    """Same as bsgs_g1 for GT: csk [2, L, *batch] = c^q1 in F_p^2."""
+    bound = tables.bound
+    batch_shape = csk.shape[2:]
+    gamma_inv = tables.gamma_inv_gt.reshape(
+        (2, ctx.L) + (1,) * len(batch_shape))
+
+    neg_csk = fp2.conj(ctx, csk)     # GT inverse = conjugate (unitary)
+    both = jnp.stack([csk, neg_csk], axis=2)     # [2, L, 2, *batch]
+    gamma_b = gamma_inv[:, :, None]
+
+    def chain(z, _):
+        return fp2.mul(ctx, z, gamma_b), z
+
+    _, auxs = jax.lax.scan(chain, both, None, length=bound + 1)
+    # auxs: [bound+1, 2, L, 2, *batch] -> [2, L, bound+1, 2, *batch]
+    auxs = jnp.moveaxis(auxs, 0, 2)
+    words = auxs.reshape((2 * ctx.L,) + auxs.shape[2:])
+    hits, vals = _lookup(tables.table_gt, words)
+    found_p, m_p = _first_hit(hits[:, 0], vals[:, 0], bound)
+    found_n, m_n = _first_hit(hits[:, 1], vals[:, 1], bound)
+
+    is_zero_ct = fp2.is_one(ctx, csk)
+    m_signed = jnp.where(found_p.astype(bool), m_p.astype(jnp.int32),
+                         -m_n.astype(jnp.int32))
+    m_signed = jnp.where(is_zero_ct.astype(bool), 0, m_signed)
+    found = (is_zero_ct | found_p | found_n).astype(jnp.uint32)
+    return found, m_signed

@@ -1,0 +1,495 @@
+"""The BGN scheme: keygen, encryption, homomorphic ops, decryption.
+
+TPU-native analog of the reference's bgn.go.  Design stance (SURVEY.md §7):
+*arrays of ciphertexts, not ciphertext objects* -- a Ciphertext holds a
+whole batch; every op is a batched XLA kernel over limb arrays, jitted once
+per (key_bits, batch_shape) and reused across keys.
+
+Level rules, deterministic-mode branches and failure semantics mirror the
+reference exactly:
+  - Encrypt: C = P^m * Q^r in G1 (EncryptWithRandomness, bgn.go:340-353);
+    EncryptDeterministic: C = P^m (bgn.go:325-331).
+  - Add/Sub: group op in G1 or GT with auto-promotion of mixed levels via
+    makeL2 = e(C, E_det(1)) (bgn.go:316-321, 442-497); re-randomization by
+    Q^r / e(Q,Q)^r unless pk.deterministic.  (The reference's L2 Sub
+    mislabels its randomized result L2=false, bgn.go:411 -- a known quirk we
+    deliberately do NOT replicate; SURVEY.md §2.1.)
+  - Mult: e(C1, C2) -> L2 (bgn.go:294-314); MultConst: C^k (bgn.go:253-291).
+  - Decrypt: csk = C^q1, BSGS against gsk = P^q1 / e(P,P)^q1 with the
+    negative-retry fused in (bgn.go:205-250, gsbs.go) -- see ops/bsgs.py.
+
+Host big-int state (n, l, q1, ...) lives on plain Python objects; only limb
+arrays enter jit, so one compiled kernel serves every same-width key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import secrets
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hostmath as hm
+from .fieldcore import limbs as lb
+from .fieldcore import montgomery as mg
+from .fieldcore.montgomery import MontCtx
+from .ops import bsgs as bsgs_mod
+from .ops import curve as cv
+from .ops import fp2
+from .ops import pairing as pairing_mod
+from .utils import convert
+
+# Limb head-room beyond key_bits for the cofactor l (p = l*n - 1).
+_L_MARGIN_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Key material
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PublicDeviceKey:
+    """Device-resident public key material (the pytree passed into jit)."""
+
+    ctx: MontCtx
+    P: cv.AffinePoint       # generator of G1, scalar batch ()
+    Q: cv.AffinePoint       # generator of the order-q1 subgroup
+    n_bits: jax.Array       # [key_bits] bits of n, MSB first (Miller loop)
+    l_bits: jax.Array       # [32] bits of the cofactor l (final exp)
+    pair_qq: jax.Array      # [2, L] e(Q, Q) (L2 re-randomization)
+    gt_gen: jax.Array       # [2, L] e(P, P)
+
+
+@dataclasses.dataclass
+class PolyEncodingParams:
+    """Reference PolyEncodingParams (bgn.go:20-24)."""
+
+    poly_base: int
+    fp_scale_base: int
+    fp_precision: float
+
+
+class BGNPublicKey:
+    """Public key: host metadata + device arrays + op methods.
+
+    Mirrors the reference PublicKey struct (bgn.go:28-41); `dev` plays the
+    role of the pbc pairing context."""
+
+    def __init__(self, key_bits: int, n: int, l: int, p: int,
+                 msg_space: int, deterministic: bool,
+                 poly_params: PolyEncodingParams,
+                 P_host: Tuple[int, int], Q_host: Tuple[int, int],
+                 dev: PublicDeviceKey):
+        self.key_bits = key_bits
+        self.n = n
+        self.l = l
+        self.p = p
+        self.msg_space = msg_space
+        self.deterministic = deterministic
+        self.poly_params = poly_params
+        self.P_host = P_host
+        self.Q_host = Q_host
+        self.dev = dev
+        self._encoding_tables = None  # filled by encoding.compute_tables
+
+    # -- encryption ---------------------------------------------------------
+
+    def encrypt(self, ms: Sequence[int], rng=None) -> "Ciphertext":
+        """Randomized encryption of a batch of ints (Encrypt, bgn.go:334)."""
+        ms = list(np.atleast_1d(np.asarray(ms, dtype=object)))
+        rs = [_rand_below(self.n, rng) for _ in ms]
+        return self.encrypt_with_randomness(ms, rs)
+
+    def encrypt_with_randomness(self, ms, rs) -> "Ciphertext":
+        """C = P^m * Q^r (EncryptWithRandomness, bgn.go:340-353)."""
+        m_bits, m_neg = _signed_bits(ms, self.n)
+        r_bits, r_neg = _signed_bits(rs, self.n)
+        if np.any(r_neg):
+            raise ValueError("randomness must be non-negative")
+        pt = _encrypt_kernel(self.dev, m_bits, jnp.asarray(m_neg), r_bits)
+        return Ciphertext(pt, level2=False)
+
+    def encrypt_deterministic(self, ms) -> "Ciphertext":
+        """C = P^m (EncryptDeterministic, bgn.go:325-331)."""
+        m_bits, m_neg = _signed_bits(ms, self.n)
+        pt = _encrypt_det_kernel(self.dev, m_bits, jnp.asarray(m_neg))
+        return Ciphertext(pt, level2=False)
+
+    def encrypt_zero(self, batch: int = 1) -> "Ciphertext":
+        """E_det(0) = O (encryptZero, bgn.go:562-564)."""
+        return self.encrypt_deterministic([0] * batch)
+
+    # -- homomorphic ops ----------------------------------------------------
+
+    def add(self, a: "Ciphertext", b: "Ciphertext", rng=None) -> "Ciphertext":
+        """Homomorphic addition with auto level promotion (Add, bgn.go:442)."""
+        a, b = self._promote(a, b)
+        if a.level2:
+            out = _add_l2_kernel(self.dev, a.data, b.data)
+            out = self._rerandomize_l2(out, rng)
+            return Ciphertext(out, level2=True)
+        out = _add_l1_kernel(self.dev, a.data, b.data)
+        out = self._rerandomize_l1(out, rng)
+        return Ciphertext(out, level2=False)
+
+    def sub(self, a: "Ciphertext", b: "Ciphertext", rng=None) -> "Ciphertext":
+        """Homomorphic subtraction (Sub, bgn.go:375-433; the bgn.go:411
+        level-flag bug is intentionally not replicated)."""
+        a, b = self._promote(a, b)
+        if a.level2:
+            out = _sub_l2_kernel(self.dev, a.data, b.data)
+            out = self._rerandomize_l2(out, rng)
+            return Ciphertext(out, level2=True)
+        out = _sub_l1_kernel(self.dev, a.data, b.data)
+        out = self._rerandomize_l1(out, rng)
+        return Ciphertext(out, level2=False)
+
+    def neg(self, a: "Ciphertext", rng=None) -> "Ciphertext":
+        """Additive inverse: Sub(E_det(0), c) (Neg, bgn.go:436-439)."""
+        zero = self.encrypt_zero(batch=int(np.prod(a.batch_shape, dtype=int))
+                                 ).reshape(a.batch_shape)
+        return self.sub(zero, a, rng=rng)
+
+    def mult(self, a: "Ciphertext", b: "Ciphertext", rng=None) -> "Ciphertext":
+        """Ciphertext-ciphertext multiply via the pairing (Mult, bgn.go:294).
+
+        Both inputs must be L1; result is L2 (one multiplication depth)."""
+        if a.level2 or b.level2:
+            raise ValueError("Mult requires two level-1 ciphertexts")
+        out = _mult_kernel(self.dev, a.data, b.data)
+        out = self._rerandomize_l2(out, rng)
+        return Ciphertext(out, level2=True)
+
+    def mult_const(self, a: "Ciphertext", ks, rng=None) -> "Ciphertext":
+        """Multiply by plaintext constant(s): C^k (MultConst, bgn.go:253).
+
+        ks: scalar or [batch] ints (negative allowed, via inversion)."""
+        ks = _const_list(ks, a.batch_shape)
+        k_bits, k_neg = _signed_bits(ks, self.n)
+        if a.level2:
+            out = _mult_const_l2_kernel(self.dev, a.data, k_bits,
+                                        jnp.asarray(k_neg))
+            out = self._rerandomize_l2(out, rng)
+            return Ciphertext(out, level2=True)
+        out = _mult_const_l1_kernel(self.dev, a.data, k_bits,
+                                    jnp.asarray(k_neg))
+        out = self._rerandomize_l1(out, rng)
+        return Ciphertext(out, level2=False)
+
+    def make_l2(self, a: "Ciphertext") -> "Ciphertext":
+        """Promote L1 -> L2 via e(C, E_det(1)) (makeL2, bgn.go:316-321)."""
+        if a.level2:
+            return a
+        return Ciphertext(_make_l2_kernel(self.dev, a.data), level2=True)
+
+    # -- decryption setup ---------------------------------------------------
+
+    def setup_decryption(self, sk: "BGNSecretKey",
+                         rng=None) -> bsgs_mod.DecryptTables:
+        """Precompute gsk values + BSGS tables (SetupDecryption,
+        bgn.go:195-201; PrecomputeTables, gsbs.go:41-51)."""
+        import random as _random
+        rng = rng or _random.Random(secrets.randbits(64))
+        gk = hm.GoldenKey(params=sk.a1_params, P=self.P_host, Q=self.Q_host,
+                          R=sk.r, msg_space=self.msg_space)
+        return bsgs_mod.build_decrypt_tables(gk, self.dev.ctx, rng)
+
+    # -- internals ----------------------------------------------------------
+
+    def _promote(self, a, b):
+        if a.level2 and not b.level2:
+            b = self.make_l2(b)
+        if b.level2 and not a.level2:
+            a = self.make_l2(a)
+        return a, b
+
+    def _rerandomize_l1(self, pt: cv.AffinePoint, rng) -> cv.AffinePoint:
+        """Multiply by Q^r unless deterministic (e.g. bgn.go:484-496)."""
+        if self.deterministic:
+            return pt
+        r_bits, _ = _signed_bits([_rand_below(self.n, rng)
+                                  for _ in range(_flat(pt.inf.shape))], self.n)
+        r_bits = r_bits.reshape((r_bits.shape[0],) + pt.inf.shape)
+        return _rerand_l1_kernel(self.dev, pt, r_bits)
+
+    def _rerandomize_l2(self, z, rng):
+        """Multiply by e(Q,Q)^r unless deterministic (e.g. bgn.go:462-475)."""
+        if self.deterministic:
+            return z
+        shape = z.shape[2:]
+        r_bits, _ = _signed_bits([_rand_below(self.n, rng)
+                                  for _ in range(_flat(shape))], self.n)
+        r_bits = r_bits.reshape((r_bits.shape[0],) + shape)
+        return _rerand_l2_kernel(self.dev, z, r_bits)
+
+
+class BGNSecretKey:
+    """Secret key {q1, R, poly_base} (reference SecretKey, bgn.go:57-62)."""
+
+    def __init__(self, a1_params: hm.A1Params, r: int, poly_base: int):
+        self.a1_params = a1_params
+        self.key = a1_params.q1            # reference SecretKey.Key
+        self.r = r
+        self.poly_base = poly_base
+        nb = a1_params.q1.bit_length()
+        self.q1_bits = jnp.asarray(lb.int_to_bits(a1_params.q1, nb))
+
+    # -- decryption ---------------------------------------------------------
+
+    def decrypt(self, ct: "Ciphertext", pk: BGNPublicKey,
+                tables: bsgs_mod.DecryptTables):
+        """Batched decrypt; raises if any element is out of range
+        (Decrypt, bgn.go:205-207)."""
+        vals, ok = self.decrypt_with_status(ct, pk, tables)
+        if not bool(np.all(ok)):
+            raise ValueError("cannot find discrete log; out of bounds")
+        return vals
+
+    def decrypt_failsafe(self, ct: "Ciphertext", pk: BGNPublicKey,
+                         tables: bsgs_mod.DecryptTables):
+        """Failed lanes decrypt to 0 (DecryptFailSafe, bgn.go:210-216)."""
+        vals, ok = self.decrypt_with_status(ct, pk, tables)
+        return np.where(ok, vals, 0)
+
+    def decrypt_with_status(self, ct: "Ciphertext", pk: BGNPublicKey,
+                            tables: bsgs_mod.DecryptTables):
+        """Returns (values int64 [batch], ok bool [batch])."""
+        if ct.level2:
+            found, m = _decrypt_l2_kernel(pk.dev, tables, self.q1_bits,
+                                          ct.data)
+        else:
+            found, m = _decrypt_l1_kernel(pk.dev, tables, self.q1_bits,
+                                          ct.data)
+        return (np.asarray(m, dtype=np.int64),
+                np.asarray(found).astype(bool))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """A batch of BGN ciphertexts (reference Ciphertext, ciphertext.go:12).
+
+    data: AffinePoint (level 1, G1 points) or [2, L, *batch] array
+    (level 2, GT elements).  level2 is static, mirroring the L2 bool."""
+
+    data: Any
+    level2: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def batch_shape(self):
+        if self.level2:
+            return self.data.shape[2:]
+        return self.data.inf.shape
+
+    def reshape(self, batch_shape) -> "Ciphertext":
+        L_axes = (2,) if self.level2 else None
+        if self.level2:
+            d = self.data.reshape(self.data.shape[:2] + tuple(batch_shape))
+            return Ciphertext(d, True)
+        pt = cv.AffinePoint(
+            self.data.x.reshape((self.data.x.shape[0],) + tuple(batch_shape)),
+            self.data.y.reshape((self.data.y.shape[0],) + tuple(batch_shape)),
+            self.data.inf.reshape(tuple(batch_shape)))
+        return Ciphertext(pt, False)
+
+    def __getitem__(self, idx) -> "Ciphertext":
+        """Slice along the leading batch axis."""
+        if self.level2:
+            return Ciphertext(self.data[:, :, idx], True)
+        return Ciphertext(cv.AffinePoint(self.data.x[:, idx],
+                                         self.data.y[:, idx],
+                                         self.data.inf[idx]), False)
+
+
+# ---------------------------------------------------------------------------
+# Keygen
+# ---------------------------------------------------------------------------
+
+
+def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
+           fp_scale_base: int = 3, fp_precision: float = 0.0001,
+           deterministic: bool = True, rng=None
+           ) -> Tuple[BGNPublicKey, BGNSecretKey]:
+    """Generate a BGN key pair (NewKeyGen, bgn.go:65-138).
+
+    Host does the number theory (prime search, cofactor, generator); device
+    arrays are uploaded once.  Pass a random.Random for reproducible keys
+    (the test-vector / fixed-key path SURVEY.md §4 requires)."""
+    gk = hm.golden_keygen(key_bits, msg_space, rng)
+    params = gk.params
+    L = lb.num_limbs_for_bits(key_bits + _L_MARGIN_BITS)
+    if params.p.bit_length() > 16 * L:
+        raise ValueError("cofactor l unexpectedly large; retry keygen")
+    ctx = mg.make_mont_ctx(params.p, L=L)
+
+    e_pp = gk.gt_base()
+    e_qq = hm.tate_pairing(gk.Q, gk.Q, params)
+    dev = PublicDeviceKey(
+        ctx=ctx,
+        P=convert.point_from_host(ctx, gk.P),
+        Q=convert.point_from_host(ctx, gk.Q),
+        n_bits=jnp.asarray(lb.int_to_bits(params.n, key_bits)),
+        l_bits=jnp.asarray(lb.int_to_bits(params.l, 32)),
+        pair_qq=convert.fp2_single_from_host(ctx, e_qq),
+        gt_gen=convert.fp2_single_from_host(ctx, e_pp),
+    )
+    poly_params = PolyEncodingParams(poly_base, fp_scale_base, fp_precision)
+    pk = BGNPublicKey(key_bits=key_bits, n=params.n, l=params.l, p=params.p,
+                      msg_space=msg_space, deterministic=deterministic,
+                      poly_params=poly_params, P_host=gk.P, Q_host=gk.Q,
+                      dev=dev)
+    sk = BGNSecretKey(params, gk.R, poly_base)
+    from . import encoding
+    encoding.compute_encoding_table(pk)   # mirrors bgn.go:135
+    return pk, sk
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _rand_below(n: int, rng=None) -> int:
+    """Uniform random int < n (newCryptoRandom, bgn.go:567-574)."""
+    if rng is None:
+        return secrets.randbelow(n)
+    return rng.randrange(n)
+
+
+def _flat(shape) -> int:
+    return int(np.prod(shape, dtype=int)) if shape else 1
+
+
+def _bits_width(values) -> int:
+    """Pick a compile-friendly bit width: power-of-two-ish buckets."""
+    m = max((int(abs(v)).bit_length() for v in values), default=1)
+    m = max(m, 1)
+    w = 16
+    while w < m:
+        w *= 2
+    return w
+
+
+def _signed_bits(values, n: int):
+    """Host ints -> (bits [nbits, B] MSB-first of |v| mod n, neg mask [B])."""
+    values = [int(v) for v in np.atleast_1d(np.asarray(values, dtype=object))]
+    neg = np.asarray([1 if v < 0 else 0 for v in values], dtype=np.uint32)
+    mags = [abs(v) % n for v in values]
+    nbits = min(_bits_width(mags), n.bit_length())
+    bits = np.stack([lb.int_to_bits(v, nbits) for v in mags], axis=1)
+    return jnp.asarray(bits), neg
+
+
+def _const_list(ks, batch_shape):
+    arr = np.asarray(ks, dtype=object).reshape(-1)
+    B = _flat(batch_shape)
+    if arr.size == 1:
+        arr = np.repeat(arr, B)
+    if arr.size != B:
+        raise ValueError("constant batch mismatch")
+    return list(arr)
+
+
+# ---------------------------------------------------------------------------
+# Jitted kernels (module-level so the jit cache is shared across keys)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _encrypt_kernel(dev: PublicDeviceKey, m_bits, m_neg, r_bits):
+    ctx = dev.ctx
+    g = cv.scalar_mul(ctx, dev.P, m_bits)            # P^|m|
+    g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
+    h = cv.scalar_mul(ctx, dev.Q, r_bits)            # Q^r
+    h_aff = cv.normalize(ctx, h)
+    c = cv.madd(ctx, g, h_aff)
+    return cv.normalize(ctx, c)
+
+
+@jax.jit
+def _encrypt_det_kernel(dev: PublicDeviceKey, m_bits, m_neg):
+    ctx = dev.ctx
+    g = cv.scalar_mul(ctx, dev.P, m_bits)
+    g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
+    return cv.normalize(ctx, g)
+
+
+@jax.jit
+def _add_l1_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
+    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, b))
+
+
+@jax.jit
+def _sub_l1_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
+    nb = cv.neg_affine(dev.ctx, b)
+    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, nb))
+
+
+@jax.jit
+def _add_l2_kernel(dev, a, b):
+    return fp2.mul(dev.ctx, a, b)
+
+
+@jax.jit
+def _sub_l2_kernel(dev, a, b):
+    # GT division; GT is unitary so b^-1 = conj(b)
+    return fp2.mul(dev.ctx, a, fp2.conj(dev.ctx, b))
+
+
+@jax.jit
+def _mult_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
+    return pairing_mod.pairing(dev.ctx, a, b, dev.n_bits, dev.l_bits)
+
+
+@jax.jit
+def _make_l2_kernel(dev, a: cv.AffinePoint):
+    return pairing_mod.pairing(dev.ctx, a, dev.P, dev.n_bits, dev.l_bits)
+
+
+@jax.jit
+def _mult_const_l1_kernel(dev, a: cv.AffinePoint, k_bits, k_neg):
+    ctx = dev.ctx
+    r = cv.scalar_mul(ctx, a, k_bits)
+    r = cv.JacPoint(r.X, lb.select(k_neg, mg.mod_neg(ctx, r.Y), r.Y), r.Z)
+    return cv.normalize(ctx, r)
+
+
+@jax.jit
+def _mult_const_l2_kernel(dev, a, k_bits, k_neg):
+    ctx = dev.ctx
+    r = fp2.pow_bits(ctx, a, k_bits)
+    return fp2.select(k_neg, fp2.conj(ctx, r), r)
+
+
+@jax.jit
+def _rerand_l1_kernel(dev, pt: cv.AffinePoint, r_bits):
+    ctx = dev.ctx
+    h = cv.normalize(ctx, cv.scalar_mul(ctx, dev.Q, r_bits))
+    return cv.normalize(ctx, cv.add_affine(ctx, pt, h))
+
+
+@jax.jit
+def _rerand_l2_kernel(dev, z, r_bits):
+    ctx = dev.ctx
+    mask = fp2.pow_bits(ctx, dev.pair_qq, r_bits)
+    return fp2.mul(ctx, z, mask)
+
+
+@jax.jit
+def _decrypt_l1_kernel(dev, tables, q1_bits, pt: cv.AffinePoint):
+    ctx = dev.ctx
+    csk = cv.scalar_mul(ctx, pt, q1_bits)            # C^q1 (bgn.go:223)
+    return bsgs_mod.bsgs_g1(ctx, tables, csk)
+
+
+@jax.jit
+def _decrypt_l2_kernel(dev, tables, q1_bits, z):
+    ctx = dev.ctx
+    csk = fp2.pow_bits(ctx, z, q1_bits)              # c^q1
+    return bsgs_mod.bsgs_gt(ctx, tables, csk)
