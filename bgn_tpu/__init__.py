@@ -7,5 +7,23 @@ polynomial/fixed-point plaintext encodings, ZK gadgets, serialization -- all
 re-designed TPU-first: ciphertexts live in batched limb arrays, every scheme
 op is a batched XLA/Pallas kernel, and scaling is expressed with
 jax.sharding meshes.
+
+Quick start:
+    import bgn_tpu
+    pk, sk = bgn_tpu.keygen(512, 1021)
+    tables = pk.setup_decryption(sk)
+    ct = pk.encrypt([3, 4, 5])
+    prod = pk.mult(ct, ct)              # one homomorphic multiplication
+    sk.decrypt(prod, pk, tables)        # -> [9, 16, 25]
 """
+
+from .scheme import (BGNPublicKey, BGNSecretKey, Ciphertext,  # noqa: F401
+                     PolyEncodingParams, keygen)
+from .encoding import (PolyPlaintext, new_poly_plaintext,  # noqa: F401
+                       new_unbalanced_plaintext)
+from .polyct import (PolyCiphertext, encrypt_poly, decrypt_poly,  # noqa
+                     add_poly, sub_poly, neg_poly, mult_poly,
+                     mult_const_poly, eval_poly, make_poly_l2)
+from . import gadgets, serialize, hostmath  # noqa: F401
+
 __version__ = "0.1.0"

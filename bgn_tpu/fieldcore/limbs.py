@@ -162,6 +162,16 @@ def select(mask, a, b) -> jax.Array:
     return jnp.where(mask.astype(bool)[None], a, b)
 
 
+def expand_to(v, shape) -> jax.Array:
+    """Broadcast v to `shape` by appending trailing batch axes.
+
+    Unlike plain broadcast_to (which aligns trailing dims), this treats the
+    leading dims of v as structural (limb/coordinate axes) and the missing
+    trailing dims as batch: [L] -> [L, *batch]."""
+    v = v.reshape(v.shape + (1,) * (len(shape) - v.ndim))
+    return jnp.broadcast_to(v, shape)
+
+
 def limbs_to_bits_msb(a, nbits: int) -> jax.Array:
     """[L, *B] limbs -> [nbits, *B] bits, MSB first (device).
 

@@ -85,8 +85,8 @@ def mont_mul(ctx: MontCtx, a, b):
     a, b: uint32 [L, *batch] canonical limbs < p. Returns same shape < p."""
     L = ctx.L
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    a = jnp.broadcast_to(a, (L,) + batch_shape)
-    b = jnp.broadcast_to(b, (L,) + batch_shape)
+    a = lb.expand_to(a, (L,) + batch_shape)
+    b = lb.expand_to(b, (L,) + batch_shape)
     p = _bcast(ctx.p, len(batch_shape))
     T0 = jnp.zeros((L + 1,) + batch_shape, dtype=jnp.uint32)
 
@@ -164,7 +164,7 @@ def mont_pow(ctx: MontCtx, a, bits):
     batch_shape = jnp.broadcast_shapes(a.shape[1:], bits.shape[1:])
     acc0 = jnp.broadcast_to(_bcast(ctx.one, len(batch_shape)),
                             (ctx.L,) + batch_shape)
-    a = jnp.broadcast_to(a, (ctx.L,) + batch_shape)
+    a = lb.expand_to(a, (ctx.L,) + batch_shape)
 
     def step(acc, bit):
         acc = mont_sqr(ctx, acc)

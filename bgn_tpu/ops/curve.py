@@ -178,9 +178,12 @@ def scalar_mul(ctx: MontCtx, base: AffinePoint, bits) -> JacPoint:
     (reference bgn.go:113, 222-223, 277, ...)."""
     batch_shape = jnp.broadcast_shapes(base.x.shape[1:], bits.shape[1:])
     base = AffinePoint(
-        jnp.broadcast_to(base.x, (ctx.L,) + batch_shape),
-        jnp.broadcast_to(base.y, (ctx.L,) + batch_shape),
-        jnp.broadcast_to(base.inf, batch_shape))
+        lb.expand_to(base.x, (ctx.L,) + batch_shape),
+        lb.expand_to(base.y, (ctx.L,) + batch_shape),
+        jnp.broadcast_to(
+            base.inf.reshape(base.inf.shape + (1,) * (len(batch_shape)
+                                                      - base.inf.ndim)),
+            batch_shape))
     base2 = dbl(ctx, to_jac(ctx, base))
     v0 = jac_infinity(ctx, batch_shape)
     shared = bits.ndim == 1

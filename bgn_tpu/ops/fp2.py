@@ -85,7 +85,7 @@ def pow_bits(ctx: MontCtx, x, bits):
     batch_shape = jnp.broadcast_shapes(x.shape[2:], bits.shape[1:])
     acc0 = jnp.broadcast_to(one(ctx, ()).reshape(
         (2, ctx.L) + (1,) * len(batch_shape)), (2, ctx.L) + batch_shape)
-    x = jnp.broadcast_to(x, (2, ctx.L) + batch_shape)
+    x = lb.expand_to(x, (2, ctx.L) + batch_shape)
 
     def step(acc, bit):
         acc = sqr(ctx, acc)

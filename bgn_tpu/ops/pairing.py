@@ -109,9 +109,13 @@ def miller_loop(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits):
     L = ctx.L
 
     def bc_pt(p: AffinePoint) -> AffinePoint:
-        return AffinePoint(jnp.broadcast_to(p.x, (L,) + batch_shape),
-                           jnp.broadcast_to(p.y, (L,) + batch_shape),
-                           jnp.broadcast_to(p.inf, batch_shape))
+        return AffinePoint(
+            lb.expand_to(p.x, (L,) + batch_shape),
+            lb.expand_to(p.y, (L,) + batch_shape),
+            jnp.broadcast_to(
+                p.inf.reshape(p.inf.shape + (1,) * (len(batch_shape)
+                                                    - p.inf.ndim)),
+                batch_shape))
 
     a = bc_pt(a)
     b = bc_pt(b)

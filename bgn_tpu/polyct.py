@@ -1,0 +1,262 @@
+"""Polynomial ciphertexts: coefficient-batched homomorphic ops.
+
+TPU redesign of the reference's poly.go: a PolyCiphertext's coefficients
+live in ONE batched Ciphertext whose leading batch axis is the coefficient
+index, so every coefficient-wise op is a single kernel launch; the
+goroutine-per-pair fan-out of MultPoly/MultConstPoly (poly.go:95-111,
+129-153) becomes one batched pairing over all degree1*degree2 pairs plus a
+diagonal product accumulation -- no locks, no threads.
+
+Semantics mirrored exactly:
+  - EncryptPoly / DecryptPoly coefficient-wise (poly.go:11-42); negative
+    coefficients encrypt as the additive inverse (poly.go:17-22).
+  - AddPoly with scale-factor alignment (MultConstPoly by
+    FPScaleBase^diff, poly.go:209-226) and level promotion via MakePolyL2 =
+    MultPoly(E(poly 1), ct) (poly.go:159-163, 173-182).
+  - MultPoly: full convolution, result degree d1+d2, L2
+    (poly.go:123-156); MultConstPoly: convolution with the unbalanced
+    encoding of |constant|, NegPoly afterwards if negative (poly.go:70-120).
+  - EvalPoly: homomorphic Horner collapse (poly.go:58-68).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import encoding
+from .fieldcore import limbs as lb
+from .fieldcore import montgomery as mg
+from .ops import curve as cv
+from .ops import fp2
+from .ops import pairing as pairing_mod
+from .scheme import BGNPublicKey, BGNSecretKey, Ciphertext
+
+
+@dataclass
+class PolyCiphertext:
+    """Reference PolyCiphertext (ciphertext.go:26-31): coefficient batch +
+    degree + fixed-point scale factor + level flag."""
+
+    ct: Ciphertext          # batch shape (degree,)
+    degree: int
+    scale_factor: int
+
+    @property
+    def level2(self) -> bool:
+        return self.ct.level2
+
+    def copy(self) -> "PolyCiphertext":
+        return PolyCiphertext(self.ct, self.degree, self.scale_factor)
+
+
+# ---------------------------------------------------------------------------
+# Encrypt / decrypt
+# ---------------------------------------------------------------------------
+
+
+def encrypt_poly(pk: BGNPublicKey, pt: encoding.PolyPlaintext,
+                 rng=None) -> PolyCiphertext:
+    """Encrypt each coefficient (EncryptPoly, poly.go:11-29).
+
+    Negative coefficients become additive inverses; with our signed
+    encrypt kernel that is P^-|c| * Q^r, value-identical to the
+    reference's Sub(E(0), E(|c|)) path."""
+    ct = pk.encrypt(pt.coefficients, rng=rng)
+    return PolyCiphertext(ct, pt.degree, pt.scale_factor)
+
+
+def decrypt_poly(sk: BGNSecretKey, pct: PolyCiphertext, pk: BGNPublicKey,
+                 tables) -> encoding.PolyPlaintext:
+    """Decrypt each coefficient (DecryptPoly, poly.go:32-42).
+
+    Like the reference, out-of-range coefficients do not raise (the
+    reference drops the error and keeps a nil coefficient); they decrypt
+    to 0 here."""
+    vals = sk.decrypt_failsafe(pct.ct, pk, tables)
+    return encoding.PolyPlaintext(pk, [int(v) for v in vals],
+                                  pct.degree, pct.scale_factor)
+
+
+# ---------------------------------------------------------------------------
+# Level promotion / negation / add / sub
+# ---------------------------------------------------------------------------
+
+
+def make_poly_l2(pk: BGNPublicKey, pct: PolyCiphertext) -> PolyCiphertext:
+    """MakePolyL2 = MultPoly(EncryptPoly(E(1.0)), ct) (poly.go:159-163):
+    degree grows by one with a zero top coefficient, exactly like the
+    reference."""
+    one_pt = encoding.new_poly_plaintext(pk, 1.0)
+    one_ct = encrypt_poly(pk, one_pt)
+    return mult_poly(pk, one_ct, pct)
+
+
+def neg_poly(pk: BGNPublicKey, pct: PolyCiphertext,
+             rng=None) -> PolyCiphertext:
+    """Coefficient-wise Sub(E(0), c) (NegPoly, poly.go:45-55)."""
+    ct = pk.neg(pct.ct, rng=rng)
+    return PolyCiphertext(ct, pct.degree, pct.scale_factor)
+
+
+def add_poly(pk: BGNPublicKey, a: PolyCiphertext,
+             b: PolyCiphertext, rng=None) -> PolyCiphertext:
+    """AddPoly (poly.go:171-207): level promotion, scale alignment, then
+    coefficient-wise add with tail passthrough."""
+    if a.level2 or b.level2:
+        if not a.level2:
+            return add_poly(pk, make_poly_l2(pk, a), b, rng=rng)
+        if not b.level2:
+            return add_poly(pk, a, make_poly_l2(pk, b), rng=rng)
+    a, b = _align(pk, a, b)
+    degree = max(a.degree, b.degree)
+    small, big = (a, b) if a.degree <= b.degree else (b, a)
+    d_small = small.degree
+    added = pk.add(big.ct[:d_small], small.ct, rng=rng)
+    out = _concat_ct(pk, added, big.ct[d_small:], big.level2)
+    return PolyCiphertext(out, degree, a.scale_factor)
+
+
+def sub_poly(pk: BGNPublicKey, a: PolyCiphertext,
+             b: PolyCiphertext, rng=None) -> PolyCiphertext:
+    """SubPoly = AddPoly(a, NegPoly(b)) (poly.go:166-168)."""
+    return add_poly(pk, a, neg_poly(pk, b, rng=rng), rng=rng)
+
+
+def _align(pk, ct1: PolyCiphertext, ct2: PolyCiphertext):
+    """alignPolyCiphertexts (poly.go:209-226)."""
+    if ct1.scale_factor > ct2.scale_factor:
+        diff = ct1.scale_factor - ct2.scale_factor
+        ct2 = mult_const_poly(
+            pk, ct2,
+            math.pow(pk.poly_params.fp_scale_base, diff))
+        ct2 = PolyCiphertext(ct2.ct, ct2.degree, ct1.scale_factor)
+        return ct1, ct2
+    if ct2.scale_factor > ct1.scale_factor:
+        ct2a, ct1a = _align(pk, ct2, ct1)
+        return ct1a, ct2a
+    return ct1, ct2
+
+
+def _concat_ct(pk, head, tail, level2):
+    """Concatenate two coefficient batches (either may be empty/None)."""
+    if head is None:
+        return tail
+    if level2:
+        return Ciphertext(jnp.concatenate([head.data, tail.data], axis=2),
+                          True)
+    pt = cv.AffinePoint(
+        jnp.concatenate([head.data.x, tail.data.x], axis=1),
+        jnp.concatenate([head.data.y, tail.data.y], axis=1),
+        jnp.concatenate([head.data.inf, tail.data.inf], axis=0))
+    return Ciphertext(pt, False)
+
+
+# ---------------------------------------------------------------------------
+# Multiplication
+# ---------------------------------------------------------------------------
+
+
+def mult_poly(pk: BGNPublicKey, a: PolyCiphertext,
+              b: PolyCiphertext, rng=None) -> PolyCiphertext:
+    """MultPoly (poly.go:123-156): one batched pairing over all
+    degree1*degree2 coefficient pairs + diagonal GT products.
+
+    Result degree d1+d2 with the top coefficient an encryption of zero,
+    exactly like the reference's zero-padded result array."""
+    if a.level2 or b.level2:
+        raise ValueError("MultPoly requires level-1 polynomial ciphertexts")
+    d1, d2 = a.degree, b.degree
+    ii, kk = np.meshgrid(np.arange(d1), np.arange(d2), indexing="ij")
+    pairs_a = a.ct[jnp.asarray(ii.reshape(-1))]
+    pairs_b = b.ct[jnp.asarray(kk.reshape(-1))]
+    prod = pk.mult(pairs_a, pairs_b, rng=rng)     # [d1*d2] GT elements
+    out = _poly_accumulate_l2(pk.dev, prod.data, d1, d2)
+    return PolyCiphertext(Ciphertext(out, True), d1 + d2,
+                          a.scale_factor + b.scale_factor)
+
+
+def mult_const_poly(pk: BGNPublicKey, pct: PolyCiphertext, constant,
+                    rng=None) -> PolyCiphertext:
+    """MultConstPoly (poly.go:70-120): convolution with the unbalanced
+    encoding of |constant| (digits in {1,2}); NegPoly afterwards if the
+    constant is negative."""
+    constant = float(constant)
+    is_negative = constant < 0
+    if is_negative:
+        constant = -constant
+    poly = encoding.new_unbalanced_plaintext(pk, constant)
+    d1, dp = pct.degree, poly.degree
+    degree = d1 + dp
+    ii, kk = np.meshgrid(np.arange(d1), np.arange(dp), indexing="ij")
+    pairs_ct = pct.ct[jnp.asarray(ii.reshape(-1))]
+    consts = [poly.coefficients[k] for k in kk.reshape(-1)]
+    prod = pk.mult_const(pairs_ct, consts, rng=rng)   # [d1*dp]
+    if pct.level2:
+        out = Ciphertext(_poly_accumulate_l2(pk.dev, prod.data, d1, dp), True)
+    else:
+        out = Ciphertext(_poly_accumulate_l1(pk.dev, prod.data, d1, dp),
+                         False)
+    res = PolyCiphertext(out, degree,
+                         pct.scale_factor + poly.scale_factor)
+    if is_negative:
+        return neg_poly(pk, res, rng=rng)
+    return res
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _poly_accumulate_l2(dev, prods, d1: int, d2: int):
+    """prods [2, L, d1*d2] -> diagonal products [2, L, d1+d2] in GT."""
+    ctx = dev.ctx
+    out = fp2.one(ctx, (d1 + d2,))
+    prods = prods.reshape(2, ctx.L, d1, d2)
+    for i in range(d1):
+        row = prods[:, :, i]                        # [2, L, d2]
+        seg = jax.lax.dynamic_slice_in_dim(out, i, d2, axis=2)
+        seg = fp2.mul(ctx, seg, row)
+        out = jax.lax.dynamic_update_slice_in_dim(out, seg, i, axis=2)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _poly_accumulate_l1(dev, prods: cv.AffinePoint, d1: int, d2: int):
+    """prods AffinePoint [L, d1*d2] -> diagonal sums [L, d1+d2] in G1."""
+    ctx = dev.ctx
+    out = cv.affine_infinity(ctx, (d1 + d2,))
+    px = prods.x.reshape(ctx.L, d1, d2)
+    py = prods.y.reshape(ctx.L, d1, d2)
+    pinf = prods.inf.reshape(d1, d2)
+    for i in range(d1):
+        row = cv.AffinePoint(px[:, i], py[:, i], pinf[i])
+        seg = cv.AffinePoint(
+            jax.lax.dynamic_slice_in_dim(out.x, i, d2, axis=1),
+            jax.lax.dynamic_slice_in_dim(out.y, i, d2, axis=1),
+            jax.lax.dynamic_slice_in_dim(out.inf, i, d2, axis=0))
+        seg = cv.normalize(ctx, cv.add_affine(ctx, seg, row))
+        out = cv.AffinePoint(
+            jax.lax.dynamic_update_slice_in_dim(out.x, seg.x, i, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(out.y, seg.y, i, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(out.inf, seg.inf, i, axis=0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Horner evaluation
+# ---------------------------------------------------------------------------
+
+
+def eval_poly(pk: BGNPublicKey, pct: PolyCiphertext,
+              rng=None) -> Ciphertext:
+    """Homomorphic Horner collapse to one ciphertext (EvalPoly,
+    poly.go:58-68): acc = acc*base + coeff_i from the top coefficient."""
+    acc = pk.encrypt_deterministic([0])
+    base = pk.poly_params.poly_base
+    for i in range(pct.degree - 1, -1, -1):
+        acc = pk.mult_const(acc, base, rng=rng)
+        acc = pk.add(acc, pct.ct[i:i + 1], rng=rng)
+    return acc

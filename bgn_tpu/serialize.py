@@ -1,0 +1,200 @@
+"""Serialization of keys and ciphertext batches (reference: gob wrappers,
+bgn.go:595-666, ciphertext.go:76-116, bgn.go:501-560).
+
+Byte-compatibility with Go's gob is a non-goal (SURVEY.md §5); value
+compatibility is: a saved key/ciphertext reloads to identical group
+elements.  Keys go to JSON (hex ints); ciphertext batches go to npz with
+canonical (non-Montgomery) limb arrays, so files are portable across limb
+widths and backends.
+
+Canonical element bytes (used for gadget hashing and table digests on the
+host side) are fixed-width big-endian x||y / re||im, the analog of pbc's
+Element.Bytes (the reference keys BSGS tables on Element.String,
+gsbs.go:23)."""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import hostmath as hm
+from .fieldcore import limbs as lb
+from .ops import curve as cv
+from .scheme import (BGNPublicKey, BGNSecretKey, Ciphertext,
+                     PolyEncodingParams, PublicDeviceKey, keygen)
+from .utils import convert
+
+_FORMAT_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# Canonical element bytes
+# ---------------------------------------------------------------------------
+
+
+def coord_nbytes(pk: BGNPublicKey) -> int:
+    return 2 * pk.dev.ctx.L  # 16-bit limbs -> 2 bytes each
+
+
+def point_bytes(pk: BGNPublicKey, P) -> bytes:
+    """Canonical bytes of a host point: x||y big-endian; O = all zeros."""
+    nb = coord_nbytes(pk)
+    if P is None:
+        return b"\x00" * (2 * nb)
+    return P[0].to_bytes(nb, "big") + P[1].to_bytes(nb, "big")
+
+
+def gt_bytes(pk: BGNPublicKey, z: Tuple[int, int]) -> bytes:
+    nb = coord_nbytes(pk)
+    return z[0].to_bytes(nb, "big") + z[1].to_bytes(nb, "big")
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+
+def public_key_to_json(pk: BGNPublicKey) -> str:
+    """Analog of PublicKey.MarshalBinary (bgn.go:597-622)."""
+    d = {
+        "version": _FORMAT_VERSION,
+        "key_bits": pk.key_bits,
+        "n": hex(pk.n),
+        "l": hex(pk.l),
+        "p": hex(pk.p),
+        "msg_space": pk.msg_space,
+        "deterministic": pk.deterministic,
+        "poly_base": pk.poly_params.poly_base,
+        "fp_scale_base": pk.poly_params.fp_scale_base,
+        "fp_precision": pk.poly_params.fp_precision,
+        "P": [hex(pk.P_host[0]), hex(pk.P_host[1])],
+        "Q": [hex(pk.Q_host[0]), hex(pk.Q_host[1])],
+    }
+    return json.dumps(d)
+
+
+def public_key_from_json(s: str) -> BGNPublicKey:
+    """Analog of PublicKey.UnmarshalBinary (bgn.go:626-666): rebuilds the
+    device context from the serialized params."""
+    from . import encoding
+    from .fieldcore import montgomery as mg
+    from .scheme import _L_MARGIN_BITS
+
+    d = json.loads(s)
+    if d["version"] != _FORMAT_VERSION:
+        raise ValueError("unsupported key format version")
+    n, l, p = int(d["n"], 16), int(d["l"], 16), int(d["p"], 16)
+    key_bits = d["key_bits"]
+    P_host = tuple(int(v, 16) for v in d["P"])
+    Q_host = tuple(int(v, 16) for v in d["Q"])
+    L = lb.num_limbs_for_bits(key_bits + _L_MARGIN_BITS)
+    ctx = mg.make_mont_ctx(p, L=L)
+    params = hm.A1Params(q1=0, q2=0, n=n, l=l, p=p)  # public view: no factors
+    e_pp = hm.tate_pairing(P_host, P_host, params)
+    e_qq = hm.tate_pairing(Q_host, Q_host, params)
+    dev = PublicDeviceKey(
+        ctx=ctx,
+        P=convert.point_from_host(ctx, P_host),
+        Q=convert.point_from_host(ctx, Q_host),
+        n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
+        l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
+        pair_qq=convert.fp2_single_from_host(ctx, e_qq),
+        gt_gen=convert.fp2_single_from_host(ctx, e_pp),
+    )
+    poly_params = PolyEncodingParams(d["poly_base"], d["fp_scale_base"],
+                                     d["fp_precision"])
+    pk = BGNPublicKey(key_bits=key_bits, n=n, l=l, p=p,
+                      msg_space=d["msg_space"],
+                      deterministic=d["deterministic"],
+                      poly_params=poly_params, P_host=P_host, Q_host=Q_host,
+                      dev=dev)
+    encoding.compute_encoding_table(pk)
+    return pk
+
+
+def secret_key_to_json(sk: BGNSecretKey) -> str:
+    a1 = sk.a1_params
+    return json.dumps({
+        "version": _FORMAT_VERSION,
+        "q1": hex(a1.q1), "q2": hex(a1.q2), "n": hex(a1.n),
+        "l": hex(a1.l), "p": hex(a1.p),
+        "r": hex(sk.r), "poly_base": sk.poly_base,
+    })
+
+
+def secret_key_from_json(s: str) -> BGNSecretKey:
+    d = json.loads(s)
+    if d["version"] != _FORMAT_VERSION:
+        raise ValueError("unsupported key format version")
+    params = hm.A1Params(q1=int(d["q1"], 16), q2=int(d["q2"], 16),
+                         n=int(d["n"], 16), l=int(d["l"], 16),
+                         p=int(d["p"], 16))
+    return BGNSecretKey(params, int(d["r"], 16), d["poly_base"])
+
+
+# ---------------------------------------------------------------------------
+# Ciphertexts
+# ---------------------------------------------------------------------------
+
+
+def ciphertext_to_bytes(pk: BGNPublicKey, ct: Ciphertext) -> bytes:
+    """Analog of Ciphertext.Bytes (ciphertext.go:76-90): npz of canonical
+    limb arrays + level flag."""
+    from .fieldcore import montgomery as mg
+    import jax
+
+    buf = io.BytesIO()
+    if ct.level2:
+        re = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data[0]))
+        im = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data[1]))
+        np.savez(buf, level2=np.int32(1), re=re, im=im)
+    else:
+        x = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data.x))
+        y = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data.y))
+        inf = np.asarray(ct.data.inf)
+        np.savez(buf, level2=np.int32(0), x=x, y=y, inf=inf)
+    return buf.getvalue()
+
+
+def ciphertext_from_bytes(pk: BGNPublicKey, data: bytes) -> Ciphertext:
+    """Analog of NewCiphertextFromBytes (bgn.go:501-526): needs pk to
+    rebind the field context."""
+    if len(data) == 0:
+        raise ValueError("no data provided")
+    from .fieldcore import montgomery as mg
+    import jax
+
+    z = np.load(io.BytesIO(data))
+    to_mont = jax.jit(mg.to_mont)
+    if int(z["level2"]):
+        re = to_mont(pk.dev.ctx, jnp.asarray(z["re"]))
+        im = to_mont(pk.dev.ctx, jnp.asarray(z["im"]))
+        return Ciphertext(jnp.stack([re, im], axis=0), True)
+    x = to_mont(pk.dev.ctx, jnp.asarray(z["x"]))
+    y = to_mont(pk.dev.ctx, jnp.asarray(z["y"]))
+    return Ciphertext(cv.AffinePoint(x, y, jnp.asarray(z["inf"])), False)
+
+
+def poly_ciphertext_to_bytes(pk: BGNPublicKey, pct) -> bytes:
+    """Analog of PolyCiphertext.Bytes (ciphertext.go:94-116)."""
+    inner = ciphertext_to_bytes(pk, pct.ct)
+    buf = io.BytesIO()
+    np.savez(buf, degree=np.int32(pct.degree),
+             scale_factor=np.int32(pct.scale_factor),
+             ct=np.frombuffer(inner, dtype=np.uint8))
+    return buf.getvalue()
+
+
+def poly_ciphertext_from_bytes(pk: BGNPublicKey, data: bytes):
+    """Analog of NewPolyCiphertextFromBytes (bgn.go:530-560)."""
+    if len(data) == 0:
+        raise ValueError("no data provided")
+    from .polyct import PolyCiphertext
+
+    z = np.load(io.BytesIO(data))
+    ct = ciphertext_from_bytes(pk, z["ct"].tobytes())
+    return PolyCiphertext(ct, int(z["degree"]), int(z["scale_factor"]))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +22,10 @@ from ..ops.curve import AffinePoint
 HostPoint = Optional[Tuple[int, int]]
 HostFp2 = Tuple[int, int]
 
+# jitted conversion kernels (eager dispatch of the CIOS loop is very slow)
+_to_mont = jax.jit(mg.to_mont)
+_from_mont = jax.jit(mg.from_mont)
+
 
 def affine_from_host(ctx: MontCtx, points: Sequence[HostPoint],
                      batch_shape=None) -> AffinePoint:
@@ -29,8 +34,8 @@ def affine_from_host(ctx: MontCtx, points: Sequence[HostPoint],
     xs = [0 if P is None else P[0] for P in points]
     ys = [0 if P is None else P[1] for P in points]
     infs = np.array([1 if P is None else 0 for P in points], dtype=np.uint32)
-    x = mg.to_mont(ctx, jnp.asarray(lb.ints_to_limbs(xs, L)))
-    y = mg.to_mont(ctx, jnp.asarray(lb.ints_to_limbs(ys, L)))
+    x = _to_mont(ctx, jnp.asarray(lb.ints_to_limbs(xs, L)))
+    y = _to_mont(ctx, jnp.asarray(lb.ints_to_limbs(ys, L)))
     ap = AffinePoint(x, y, jnp.asarray(infs))
     if batch_shape is not None:
         ap = AffinePoint(x.reshape((L,) + batch_shape),
@@ -47,8 +52,8 @@ def point_from_host(ctx: MontCtx, P: HostPoint) -> AffinePoint:
 
 def affine_to_host(ctx: MontCtx, ap: AffinePoint) -> List[HostPoint]:
     """AffinePoint [L, B] -> list of host points."""
-    x = np.asarray(mg.from_mont(ctx, ap.x))
-    y = np.asarray(mg.from_mont(ctx, ap.y))
+    x = np.asarray(_from_mont(ctx, ap.x))
+    y = np.asarray(_from_mont(ctx, ap.y))
     inf = np.asarray(ap.inf)
     out: List[HostPoint] = []
     for b in range(x.shape[1]):
@@ -62,8 +67,8 @@ def affine_to_host(ctx: MontCtx, ap: AffinePoint) -> List[HostPoint]:
 def fp2_from_host(ctx: MontCtx, vals: Sequence[HostFp2], batch_shape=None):
     """Host (re, im) tuples -> [2, L, B] Montgomery fp2 array."""
     L = ctx.L
-    re = mg.to_mont(ctx, jnp.asarray(lb.ints_to_limbs([v[0] for v in vals], L)))
-    im = mg.to_mont(ctx, jnp.asarray(lb.ints_to_limbs([v[1] for v in vals], L)))
+    re = _to_mont(ctx, jnp.asarray(lb.ints_to_limbs([v[0] for v in vals], L)))
+    im = _to_mont(ctx, jnp.asarray(lb.ints_to_limbs([v[1] for v in vals], L)))
     z = jnp.stack([re, im], axis=0)
     if batch_shape is not None:
         z = z.reshape((2, L) + batch_shape)
@@ -76,7 +81,7 @@ def fp2_single_from_host(ctx: MontCtx, v: HostFp2):
 
 def fp2_to_host(ctx: MontCtx, z) -> List[HostFp2]:
     """[2, L, B] -> list of host (re, im) tuples."""
-    re = np.asarray(mg.from_mont(ctx, z[0]))
-    im = np.asarray(mg.from_mont(ctx, z[1]))
+    re = np.asarray(_from_mont(ctx, z[0]))
+    im = np.asarray(_from_mont(ctx, z[1]))
     return [(lb.limbs_to_int(re[:, b]), lb.limbs_to_int(im[:, b]))
             for b in range(re.shape[1])]

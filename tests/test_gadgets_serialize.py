@@ -1,0 +1,136 @@
+"""ZK gadgets (mirrors gadgets_test.go) + serialization round-trips
+(mirrors bgn_test.go:15-85)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from bgn_tpu import encoding, gadgets, polyct, scheme, serialize
+from bgn_tpu.utils import convert
+
+KEY_BITS = 160
+MSG_SPACE = 1021
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    rng = random.Random(5150)
+    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
+    return pk, sk, rng
+
+
+def test_decryption_proof_valid(keypair):
+    pk, sk, rng = keypair
+    vs = [rng.randrange(pk.n) for _ in range(3)]
+    rs = [rng.randrange(pk.n) for _ in range(3)]
+    ct = pk.encrypt_with_randomness(vs, rs)
+    proof = gadgets.new_decryption_proof(vs, rs)
+    assert gadgets.check_decryption_proof(pk, ct, proof).all()
+    # gadgets_test.go:8-22
+
+
+def test_decryption_proof_aggregate(keypair):
+    pk, sk, rng = keypair
+    v1, r1 = rng.randrange(pk.n), rng.randrange(pk.n)
+    v2, r2 = rng.randrange(pk.n), rng.randrange(pk.n)
+    ct1 = pk.encrypt_with_randomness([v1], [r1])
+    ct2 = pk.encrypt_with_randomness([v2], [r2])
+    ct3 = pk.add(ct1, ct2)
+    proof = gadgets.new_decryption_proof([v1 + v2], [r1 + r2])
+    assert gadgets.check_decryption_proof(pk, ct3, proof).all()
+    # gadgets_test.go:24-46
+
+
+def test_decryption_proof_bad(keypair):
+    pk, sk, rng = keypair
+    v, r, r2 = (rng.randrange(pk.n) for _ in range(3))
+    ct = pk.encrypt_with_randomness([v], [r])
+    assert not gadgets.check_decryption_proof(
+        pk, ct, gadgets.new_decryption_proof([v], [r2])).any()
+    assert not gadgets.check_decryption_proof(
+        pk, ct, gadgets.new_decryption_proof([r2], [r])).any()
+    # gadgets_test.go:48-69
+
+
+def test_pok_valid_and_bad(keypair):
+    pk, sk, rng = keypair
+    v, r, r2 = (rng.randrange(pk.n) for _ in range(3))
+    ct = pk.encrypt_with_randomness([v], [r])
+    proof = gadgets.new_proof_of_plaintext_knowledge(pk, sk, [v], [r],
+                                                     rng=rng)
+    assert gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof).all()
+    # wrong randomness (gadgets_test.go:87-101)
+    bad = gadgets.new_proof_of_plaintext_knowledge(pk, sk, [v], [r2], rng=rng)
+    assert not gadgets.check_proof_of_plaintext_knowledge(pk, ct, bad).any()
+    # wrong value (gadgets_test.go:103-107)
+    bad2 = gadgets.new_proof_of_plaintext_knowledge(pk, sk, [r2], [r],
+                                                    rng=rng)
+    assert not gadgets.check_proof_of_plaintext_knowledge(pk, ct, bad2).any()
+
+
+def test_pok_batched(keypair):
+    pk, sk, rng = keypair
+    vs = [rng.randrange(pk.n) for _ in range(4)]
+    rs = [rng.randrange(pk.n) for _ in range(4)]
+    ct = pk.encrypt_with_randomness(vs, rs)
+    proof = gadgets.new_proof_of_plaintext_knowledge(pk, sk, vs, rs, rng=rng)
+    assert gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof).all()
+
+
+def test_public_key_roundtrip(keypair):
+    """TestMarshalUnmarshalPublicKey (bgn_test.go:15-26)."""
+    pk, sk, rng = keypair
+    s = serialize.public_key_to_json(pk)
+    pk2 = serialize.public_key_from_json(s)
+    assert pk2.n == pk.n and pk2.l == pk.l and pk2.p == pk.p
+    assert pk2.P_host == pk.P_host and pk2.Q_host == pk.Q_host
+    assert pk2.msg_space == pk.msg_space
+    # the reloaded key encrypts identically under fixed randomness
+    ct1 = pk.encrypt_with_randomness([7, 9], [11, 13])
+    ct2 = pk2.encrypt_with_randomness([7, 9], [11, 13])
+    assert convert.affine_to_host(pk.dev.ctx, ct1.data) == \
+        convert.affine_to_host(pk2.dev.ctx, ct2.data)
+
+
+def test_secret_key_roundtrip(keypair):
+    pk, sk, rng = keypair
+    s = serialize.secret_key_to_json(sk)
+    sk2 = serialize.secret_key_from_json(s)
+    assert sk2.key == sk.key and sk2.r == sk.r
+    assert sk2.poly_base == sk.poly_base
+
+
+def test_ciphertext_roundtrip(keypair):
+    """TestCiphertextToFromBytes (bgn_test.go:37-59)."""
+    pk, sk, rng = keypair
+    expected = pk.encrypt([1, 5, 0])
+    data = serialize.ciphertext_to_bytes(pk, expected)
+    recovered = serialize.ciphertext_from_bytes(pk, data)
+    assert convert.affine_to_host(pk.dev.ctx, expected.data) == \
+        convert.affine_to_host(pk.dev.ctx, recovered.data)
+    with pytest.raises(ValueError):
+        serialize.ciphertext_from_bytes(pk, b"")
+
+
+def test_l2_ciphertext_roundtrip(keypair):
+    pk, sk, rng = keypair
+    a = pk.encrypt([3, 4])
+    prod = pk.mult(a, a)
+    data = serialize.ciphertext_to_bytes(pk, prod)
+    rec = serialize.ciphertext_from_bytes(pk, data)
+    assert convert.fp2_to_host(pk.dev.ctx, prod.data) == \
+        convert.fp2_to_host(pk.dev.ctx, rec.data)
+
+
+def test_poly_ciphertext_roundtrip(keypair):
+    """TestPolyCiphertextToFromBytes (bgn_test.go:61-85)."""
+    pk, sk, rng = keypair
+    m = encoding.new_poly_plaintext(pk, 2.99)
+    expected = polyct.encrypt_poly(pk, m)
+    data = serialize.poly_ciphertext_to_bytes(pk, expected)
+    rec = serialize.poly_ciphertext_from_bytes(pk, data)
+    assert rec.degree == expected.degree
+    assert rec.scale_factor == expected.scale_factor
+    assert convert.affine_to_host(pk.dev.ctx, expected.ct.data) == \
+        convert.affine_to_host(pk.dev.ctx, rec.ct.data)

@@ -1,0 +1,76 @@
+"""Multi-device tests on the 8-device CPU mesh (conftest.py): DP batch
+sharding + giant-step-sharded BSGS -- the distributed layer the reference
+lacks entirely (SURVEY.md §2.3)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from bgn_tpu import scheme
+from bgn_tpu.parallel import make_mesh, replicate, shard_ciphertext
+from bgn_tpu.parallel import sharded as sh
+
+KEY_BITS = 160
+MSG_SPACE = 1021
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    rng = random.Random(808)
+    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+    return pk, sk, tables
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_dp_add_mult(keypair):
+    """Scheme kernels run SPMD on sharded batches and agree with the
+    unsharded result."""
+    pk, sk, tables = keypair
+    mesh = make_mesh()
+    ms_a = list(range(8))
+    ms_b = [3] * 8
+    a = pk.encrypt(ms_a)
+    b = pk.encrypt(ms_b)
+    a_sh = shard_ciphertext(a, mesh)
+    b_sh = shard_ciphertext(b, mesh)
+    s = pk.add(a_sh, b_sh)
+    assert list(sk.decrypt(s, pk, tables)) == [m + 3 for m in ms_a]
+    prod = pk.mult(a_sh, b_sh)
+    assert list(sk.decrypt(prod, pk, tables)) == [m * 3 for m in ms_a]
+
+
+def test_dp_decrypt_sharded_batch(keypair):
+    pk, sk, tables = keypair
+    mesh = make_mesh()
+    ms = [11, 22, 33, 44, 55, 66, 77, 88]
+    ct = shard_ciphertext(pk.encrypt(ms), mesh)
+    vals, ok = sk.decrypt_with_status(ct, pk, tables)
+    assert all(ok) and list(vals) == ms
+
+
+def test_giant_step_sharded_gt_decrypt(keypair):
+    """The SP analog: i-range of the BSGS scan split over the mesh
+    (SURVEY.md §2.3 row SP/CP)."""
+    pk, sk, tables = keypair
+    mesh = make_mesh()
+    ms = [0, 1, 12, 900, 33]
+    ks = [1, 5, 1, 1, 31]
+    a = pk.encrypt(ms)
+    b = pk.encrypt(ks)
+    prod = pk.mult(a, b)         # L2 values m*k
+    want = [m * k for m, k in zip(ms, ks)]
+    vals, ok = sh.decrypt_gt_sharded(pk, sk, tables, prod, mesh)
+    assert list(ok) == [True] * len(ms)
+    assert list(vals) == want
+    # negative values through the inverse lane
+    negs = pk.neg(prod)
+    vals, ok = sh.decrypt_gt_sharded(pk, sk, tables, negs, mesh)
+    assert list(ok) == [True] * len(ms)
+    assert list(vals) == [-w for w in want]

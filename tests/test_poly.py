@@ -1,0 +1,143 @@
+"""Polynomial encoding + poly-ciphertext tests (mirrors poly_test.go)."""
+
+import random
+
+import pytest
+
+from bgn_tpu import encoding, polyct, scheme
+
+KEY_BITS = 160
+MSG_SPACE = 1021
+# reference test constants: POLYBASE=3, FPSCALEBASE=3, FPPREC=0.0001
+# (bgn_test.go:8-13)
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    rng = random.Random(31337)
+    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, 3, 3, 0.0001, True, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+    return pk, sk, tables
+
+
+def approx1(a, b):
+    """%.1f comparison used throughout poly_test.go (e.g. :75)."""
+    return f"{a:.1f}" == f"{b:.1f}"
+
+
+def test_encode_balanced(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 9.123)
+    assert approx1(p1.poly_eval(), 9.123)          # poly_test.go:68-78
+    assert all(c in (-1, 0, 1) for c in p1.coefficients)
+
+
+def test_encode_unbalanced(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_unbalanced_plaintext(pk, 9.123)
+    assert approx1(p1.poly_eval(), 9.123)          # poly_test.go:80-90
+    assert all(c in (0, 1, 2) for c in p1.coefficients)
+
+
+def test_encode_integers(keypair):
+    pk, _, _ = keypair
+    for v in [0, 1, 2, 3, 7, 100, 1000]:
+        b = encoding.balanced_encode(pk._encoding_tables, v, 3)
+        assert encoding.PolyPlaintext(pk, b[0], b[1], 0).poly_eval() == v
+        u = encoding.unbalanced_encode(pk._encoding_tables, v, 3)
+        assert encoding.PolyPlaintext(pk, u[0], u[1], 0).poly_eval() == v
+
+
+def test_encrypt_decrypt_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 9.123)
+    c1 = polyct.encrypt_poly(pk, p1)
+    got = polyct.decrypt_poly(sk, c1, pk, tables).poly_eval()
+    assert approx1(got, 9.123)                     # poly_test.go:92-104
+
+
+def test_add_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 0.1)
+    p2 = encoding.new_poly_plaintext(pk, 4.2)
+    c1 = polyct.encrypt_poly(pk, p1)
+    c2 = polyct.encrypt_poly(pk, p2)
+    r = polyct.add_poly(pk, c1, c2)
+    got = polyct.decrypt_poly(sk, r, pk, tables).poly_eval()
+    want = p1.poly_eval() + p2.poly_eval()
+    assert approx1(got, want)                      # poly_test.go:106-123
+
+
+def test_add_poly_l2(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 50.1)
+    p2 = encoding.new_poly_plaintext(pk, 41.2)
+    c1 = polyct.make_poly_l2(pk, polyct.encrypt_poly(pk, p1))
+    c2 = polyct.make_poly_l2(pk, polyct.encrypt_poly(pk, p2))
+    r = polyct.add_poly(pk, c1, c2)
+    got = polyct.decrypt_poly(sk, r, pk, tables).poly_eval()
+    want = p1.poly_eval() + p2.poly_eval()
+    assert approx1(got, want)                      # poly_test.go:125-144
+
+
+def test_mult_const_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 9.13)
+    p2 = encoding.new_poly_plaintext(pk, 4.12)
+    c1 = polyct.encrypt_poly(pk, p1)
+    want = p1.poly_eval() * p2.poly_eval()
+    r = polyct.mult_const_poly(pk, c1, 4.12)
+    got = polyct.decrypt_poly(sk, r, pk, tables).poly_eval()
+    assert approx1(got, want)                      # poly_test.go:146-161 L1
+    c1l2 = polyct.make_poly_l2(pk, c1)
+    r2 = polyct.mult_const_poly(pk, c1l2, 4.12)
+    got2 = polyct.decrypt_poly(sk, r2, pk, tables).poly_eval()
+    assert approx1(got2, want)                     # poly_test.go:163-169 L2
+
+
+def test_mult_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 1.1)
+    p2 = encoding.new_poly_plaintext(pk, 40.2)
+    c1 = polyct.encrypt_poly(pk, p1)
+    c2 = polyct.encrypt_poly(pk, p2)
+    r = polyct.mult_poly(pk, c1, c2)
+    assert r.level2
+    got = polyct.decrypt_poly(sk, r, pk, tables).poly_eval()
+    want = p1.poly_eval() * p2.poly_eval()
+    assert approx1(got, want)                      # poly_test.go:172-189
+
+
+def test_sub_and_neg_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 5.0)
+    p2 = encoding.new_poly_plaintext(pk, 2.0)
+    c1 = polyct.encrypt_poly(pk, p1)
+    c2 = polyct.encrypt_poly(pk, p2)
+    r = polyct.sub_poly(pk, c1, c2)
+    assert approx1(polyct.decrypt_poly(sk, r, pk, tables).poly_eval(), 3.0)
+
+
+def test_eval_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 27.0)
+    c1 = polyct.encrypt_poly(pk, p1)
+    ct = polyct.eval_poly(pk, c1)
+    vals, ok = sk.decrypt_with_status(ct, pk, tables)
+    assert ok[0] and int(vals[0]) == 27            # poly.go:58-68
+
+
+def test_negative_constant_poly(keypair):
+    pk, sk, tables = keypair
+    p1 = encoding.new_poly_plaintext(pk, 6.0)
+    c1 = polyct.encrypt_poly(pk, p1)
+    r = polyct.mult_const_poly(pk, c1, -2.0)
+    assert approx1(polyct.decrypt_poly(sk, r, pk, tables).poly_eval(), -12.0)
+
+
+def test_rationalize_roundtrip(keypair):
+    pk, _, _ = keypair
+    for x in [0.5, 0.25, 0.1, 0.0111, 0.99]:
+        num, powr = encoding.rationalize(x, 3, 0.0001)
+        approx = num / (3.0 ** powr)
+        assert abs(approx - x) <= 0.0001 + 1e-12
