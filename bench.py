@@ -24,7 +24,7 @@ import numpy as np
 KEY_BITS = 512
 MSG_SPACE = 1021
 BATCH = 256
-ITERS = 4
+ITERS = 8
 NORTH_STAR_PER_CHIP = 100_000 / 8  # BASELINE.json: 1e5 ops/s on v5e-8
 
 
@@ -49,16 +49,21 @@ def main():
     jax.block_until_ready((a.data, b.data))
     log(f"encrypt 2x{BATCH}: {time.time() - t0:.1f}s (incl. compile)")
 
-    # warm up / compile the pairing kernel
+    # warm up / compile the pairing kernel.  NOTE: materialize to host --
+    # on the tunneled axon platform block_until_ready can return before the
+    # remote computation finishes, so fetch bytes to be safe.
+    def materialize(x):
+        return np.asarray(x[:, :, 0]).sum()
+
     t0 = time.time()
     out = _mult_kernel(pk.dev, a.data, b.data)
-    jax.block_until_ready(out)
+    materialize(out)
     log(f"pairing compile+first batch: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(ITERS):
         out = _mult_kernel(pk.dev, a.data, b.data)
-    jax.block_until_ready(out)
+    materialize(out)
     dt = time.time() - t0
     rate = BATCH * ITERS / dt
     log(f"EMult: {BATCH * ITERS} pairings in {dt:.2f}s -> {rate:.1f}/s "

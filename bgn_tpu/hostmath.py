@@ -48,9 +48,17 @@ _SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
 
 
 def is_probable_prime(n: int, rounds: int = 40, rng=None) -> bool:
-    """Miller-Rabin primality test (mirrors crypto/rand.Prime's guarantees)."""
+    """Miller-Rabin primality test (mirrors crypto/rand.Prime's guarantees).
+
+    Uses the native accelerator (csrc/hostmath_accel.cpp, `make native`)
+    when present; the outcome is deterministic either way, so keygen
+    reproducibility under a seeded rng is unaffected."""
     if n < 2:
         return False
+    from .utils import native
+    nat = native.is_probable_prime(n, rounds)
+    if nat is not None:
+        return nat
     for sp in _SMALL_PRIMES:
         if n % sp == 0:
             return n == sp
@@ -116,7 +124,14 @@ class A1Params:
 
 
 def find_cofactor(n: int, start_l: int = 4) -> int:
-    """Smallest l = 4k with p = l*n - 1 prime (PBC a1 param search)."""
+    """Smallest l = 4k with p = l*n - 1 prime (PBC a1 param search).
+
+    The native path (csrc) screens candidates with an incremental
+    small-prime sieve before any big-number work."""
+    from .utils import native
+    nat = native.find_cofactor(n, start_l)
+    if nat is not None:
+        return nat
     l = start_l
     while True:
         p = l * n - 1
