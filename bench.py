@@ -23,7 +23,7 @@ import numpy as np
 
 KEY_BITS = 512
 MSG_SPACE = 1021
-BATCH = 256
+BATCH = 2048
 ITERS = 8
 NORTH_STAR_PER_CHIP = 100_000 / 8  # BASELINE.json: 1e5 ops/s on v5e-8
 

@@ -21,6 +21,7 @@ module is the portable XLA path and the semantics reference.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,13 @@ from . import limbs as lb
 
 LIMB_BITS = lb.LIMB_BITS
 LIMB_MASK = lb.LIMB_MASK
+
+# Pallas dispatch: on TPU the fp32 8-bit-digit CIOS kernel
+# (pallas_mont.mont_mul_pallas_f32) replaces the XLA path -- int32
+# multiplies are emulated on the VPU while fp32 FMAs run at full rate.
+# Disable with BGN_TPU_PALLAS=0.  The exactness bound requires
+# 2L+1 <= 129 accumulator positions (key_bits <= ~990).
+_USE_PALLAS = os.environ.get("BGN_TPU_PALLAS", "1") != "0"
 
 
 @jax.tree_util.register_dataclass
@@ -89,7 +97,13 @@ def mont_mul(ctx: MontCtx, a, b):
     which dominated end-to-end pairing throughput by ~50x (435k tiny
     iterations per 256-batch pairing); unrolled, XLA fuses the whole chain
     into one kernel.  The scan bodies that call mont_mul (Miller loop,
-    ladders) are traced once, so jaxpr growth stays bounded."""
+    ladders) are traced once, so jaxpr growth stays bounded.
+
+    On TPU, dispatches to the Pallas fp32 kernel (see module docstring)."""
+    if _USE_PALLAS and 2 * ctx.L + 1 <= 129 and \
+            jax.default_backend() == "tpu":
+        from .pallas_mont import mont_mul_pallas_f32
+        return mont_mul_pallas_f32(ctx, a, b)
     L = ctx.L
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = lb.expand_to(a, (L,) + batch_shape)

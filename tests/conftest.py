@@ -1,10 +1,20 @@
-"""Test configuration: force an 8-device CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (the fake-backend layer the
-reference lacks; SURVEY.md §4 item 4)."""
+"""Test configuration: force the local CPU backend with 8 virtual devices
+so multi-chip sharding paths are exercised without TPU hardware (the
+fake-backend layer the reference lacks; SURVEY.md §4 item 4).
+
+NOTE: this environment preloads jax at interpreter startup with the
+tunneled TPU platform already configured (jax_platforms="axon,cpu"), so
+env-var overrides are too late -- the override must go through
+jax.config.update before any backend is initialized."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
