@@ -33,6 +33,7 @@ im = Z3*yb.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -43,6 +44,12 @@ from ..fieldcore import montgomery as mg
 from ..fieldcore.montgomery import MontCtx
 from . import fp2
 from .curve import AffinePoint, JacPoint, select_jac, to_jac
+
+# Fused Miller-step Pallas kernels (ops/pallas_pairing.py): one kernel per
+# doubling/addition step with the loop state kept in the fp32 digit domain
+# across the scan.  BGN_TPU_FUSED_MILLER=0 falls back to the per-mont_mul
+# XLA path below (the semantics reference and CPU path).
+_USE_FUSED = os.environ.get("BGN_TPU_FUSED_MILLER", "1") != "0"
 
 
 def _dbl_with_line(ctx: MontCtx, v: JacPoint, xb, yb):
@@ -166,12 +173,79 @@ def final_exponentiation(ctx: MontCtx, f, l_bits):
     return fp2.pow_bits(ctx, w, l_bits)
 
 
+def miller_loop_fused(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits):
+    """Miller loop via the fused Pallas step kernels (TPU fast path).
+
+    Same contract/semantics as miller_loop; the (V, f) state stays in the
+    fp32 8-bit-digit domain across the whole scan, converted once at
+    entry/exit."""
+    from . import pallas_pairing as pp
+
+    batch_shape = jnp.broadcast_shapes(a.x.shape[1:], b.x.shape[1:])
+    L = ctx.L
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+
+    def prep(x):
+        return pp.to_digits(
+            lb.expand_to(x, (L,) + batch_shape).reshape(L, flat))
+
+    ax, ay = prep(a.x), prep(a.y)
+    xb, yb = prep(b.x), prep(b.y)
+    one_d = prep(ctx.one.reshape(L, 1))
+    zero_d = jnp.zeros_like(one_d)
+
+    V0 = (ax, ay, one_d)              # A as Jacobian with Z = 1 (Montgomery)
+    f0 = (one_d, zero_d)
+    started0 = jnp.uint32(0)
+
+    def step(carry, bit):
+        V, f, started = carry
+        bit_b = bit.astype(bool)
+
+        def not_started(c):
+            V, f, _ = c
+            return (V, f, jnp.where(bit_b, jnp.uint32(1), jnp.uint32(0)))
+
+        def normal(c):
+            V, f, st = c
+            V1, f1 = pp.dbl_step(ctx, V, f, (xb, yb))
+            V2, f2 = jax.lax.cond(
+                bit_b,
+                lambda vf: pp.add_step(ctx, vf[0], vf[1], (ax, ay),
+                                       (xb, yb)),
+                lambda vf: vf, (V1, f1))
+            return (V2, f2, st)
+
+        return jax.lax.cond(started.astype(bool), normal, not_started,
+                            carry), None
+
+    (V, f, started), _ = jax.lax.scan(step, (V0, f0, started0),
+                                      n_bits[:-1])
+
+    def tail_started(c):
+        V, f = c
+        _, f1 = pp.dbl_step(ctx, V, f, (xb, yb))
+        return f1
+
+    f = jax.lax.cond(started.astype(bool), tail_started, lambda c: c[1],
+                     (V, f))
+    fr = pp.from_digits(f[0]).reshape((L,) + batch_shape)
+    fi = pp.from_digits(f[1]).reshape((L,) + batch_shape)
+    return jnp.stack([fr, fi], axis=0)
+
+
 def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits):
     """Full batched symmetric pairing e(A, B) -> GT [2, L, *batch].
 
     Identity inputs yield 1 (e(O, X) = 1), matching pbc semantics for
     makeL2 on encryptZero (reference bgn.go:316-321)."""
-    f = miller_loop(ctx, a, b, n_bits)
+    if _USE_FUSED and 2 * ctx.L + 1 <= 129 and \
+            jax.default_backend() == "tpu":
+        f = miller_loop_fused(ctx, a, b, n_bits)
+    else:
+        f = miller_loop(ctx, a, b, n_bits)
     z = final_exponentiation(ctx, f, l_bits)
     trivial = (a.inf | b.inf).astype(jnp.uint32)
     batch_shape = z.shape[2:]

@@ -288,7 +288,6 @@ class Ciphertext:
         return self.data.inf.shape
 
     def reshape(self, batch_shape) -> "Ciphertext":
-        L_axes = (2,) if self.level2 else None
         if self.level2:
             d = self.data.reshape(self.data.shape[:2] + tuple(batch_shape))
             return Ciphertext(d, True)
