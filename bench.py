@@ -14,12 +14,21 @@ Supplementary metrics go to stderr.
 """
 
 import json
+import os
 import random
 import sys
 import time
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: the 512-bit fused-pairing kernels take
+# minutes to compile; cache them across bench runs (BGN_TPU_NO_CACHE=1 to
+# disable if the cache misbehaves on a backend).
+if not os.environ.get("BGN_TPU_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 KEY_BITS = 512
 MSG_SPACE = 1021

@@ -99,11 +99,16 @@ def mont_mul(ctx: MontCtx, a, b):
     into one kernel.  The scan bodies that call mont_mul (Miller loop,
     ladders) are traced once, so jaxpr growth stays bounded.
 
-    On TPU, dispatches to the Pallas fp32 kernel (see module docstring)."""
+    On TPU, dispatches to the Pallas fp32 kernel (see module docstring);
+    on CPU (the test backend) to a lax.fori_loop variant -- the unrolled
+    form makes XLA's CPU pipeline pathologically slow (and occasionally
+    crashes it), while loop overhead is irrelevant at test sizes."""
     if _USE_PALLAS and 2 * ctx.L + 1 <= 129 and \
             jax.default_backend() == "tpu":
         from .pallas_mont import mont_mul_pallas_f32
         return mont_mul_pallas_f32(ctx, a, b)
+    if jax.default_backend() == "cpu":
+        return _mont_mul_loop(ctx, a, b)
     L = ctx.L
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = lb.expand_to(a, (L,) + batch_shape)
@@ -126,6 +131,39 @@ def mont_mul(ctx: MontCtx, a, b):
         T = T.at[i + 1].add(T[i] >> LIMB_BITS)    # low 16 bits are zero now
 
     limbs, _ = lb.normalize(T[L:2 * L + 1])       # [L+1], value < 2p
+    p_ext = jnp.concatenate([p, jnp.zeros_like(p[:1])], axis=0)
+    p_ext = jnp.broadcast_to(p_ext, (L + 1,) + batch_shape)
+    diff, borrow = lb.sub(limbs, p_ext)
+    res = lb.select(borrow, limbs, diff)
+    return res[:L]
+
+
+def _mont_mul_loop(ctx: MontCtx, a, b):
+    """CIOS as a lax.fori_loop (compile-friendly CPU/test path)."""
+    L = ctx.L
+    batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = lb.expand_to(a, (L,) + batch_shape)
+    b = lb.expand_to(b, (L,) + batch_shape)
+    p = _bcast(ctx.p, len(batch_shape))
+    T0 = jnp.zeros((L + 1,) + batch_shape, dtype=jnp.uint32)
+
+    def body(i, T):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
+        prod = ai[None] * b
+        T = T.at[0:L].add(prod & LIMB_MASK)
+        T = T.at[1:L + 1].add(prod >> LIMB_BITS)
+        m = ((T[0] & LIMB_MASK) * ctx.pinv) & LIMB_MASK
+        q = m[None] * p
+        T = T.at[0:L].add(q & LIMB_MASK)
+        T = T.at[1:L + 1].add(q >> LIMB_BITS)
+        carry = T[0] >> LIMB_BITS
+        T = jnp.concatenate(
+            [T[1:], jnp.zeros((1,) + batch_shape, dtype=jnp.uint32)], axis=0)
+        T = T.at[0].add(carry)
+        return T
+
+    T = jax.lax.fori_loop(0, L, body, T0)
+    limbs, _ = lb.normalize(T)
     p_ext = jnp.concatenate([p, jnp.zeros_like(p[:1])], axis=0)
     p_ext = jnp.broadcast_to(p_ext, (L + 1,) + batch_shape)
     diff, borrow = lb.sub(limbs, p_ext)

@@ -19,11 +19,9 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import serialize
-from .fieldcore import limbs as lb
 from .ops import curve as cv
 from .scheme import BGNPublicKey, BGNSecretKey, Ciphertext, _rand_below, \
     _signed_bits

@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..fieldcore.montgomery import MontCtx
 from ..ops import curve as cv
 from ..ops import fp2
 from ..ops import pairing as pairing_mod

@@ -34,7 +34,6 @@ im = Z3*yb.
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,7 @@ from ..fieldcore import limbs as lb
 from ..fieldcore import montgomery as mg
 from ..fieldcore.montgomery import MontCtx
 from . import fp2
-from .curve import AffinePoint, JacPoint, select_jac, to_jac
+from .curve import AffinePoint, JacPoint, to_jac
 
 # Fused Miller-step Pallas kernels (ops/pallas_pairing.py): one kernel per
 # doubling/addition step with the loop state kept in the fp32 digit domain

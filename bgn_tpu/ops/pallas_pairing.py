@@ -29,8 +29,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fieldcore import limbs as lb
-
 SUBLANES = 8
 LANES = 128
 TILE_B = SUBLANES * LANES

@@ -23,15 +23,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..fieldcore import limbs as lb
-from ..fieldcore import montgomery as mg
 from ..ops import bsgs as bsgs_mod
-from ..ops import curve as cv
 from ..ops import fp2
-from .mesh import DATA_AXIS, batch_spec, make_mesh, replicate, \
-    shard_ciphertext
+from .mesh import DATA_AXIS, replicate, shard_ciphertext
 
 _NOT_FOUND = jnp.int32(2 ** 31 - 1)
 

@@ -30,11 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import encoding
-from .fieldcore import limbs as lb
-from .fieldcore import montgomery as mg
 from .ops import curve as cv
 from .ops import fp2
-from .ops import pairing as pairing_mod
 from .scheme import BGNPublicKey, BGNSecretKey, Ciphertext
 
 

@@ -26,8 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import secrets
-from functools import partial
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +63,8 @@ class PublicDeviceKey:
     l_bits: jax.Array       # [32] bits of the cofactor l (final exp)
     pair_qq: jax.Array      # [2, L] e(Q, Q) (L2 re-randomization)
     gt_gen: jax.Array       # [2, L] e(P, P)
+    p_win: cv.AffinePoint   # radix-16 window table of P, batch (J, 16)
+    q_win: cv.AffinePoint   # radix-16 window table of Q
 
 
 @dataclasses.dataclass
@@ -108,17 +109,17 @@ class BGNPublicKey:
 
     def encrypt_with_randomness(self, ms, rs) -> "Ciphertext":
         """C = P^m * Q^r (EncryptWithRandomness, bgn.go:340-353)."""
-        m_bits, m_neg = _signed_bits(ms, self.n)
-        r_bits, r_neg = _signed_bits(rs, self.n)
+        m_digits, m_neg = _signed_digits(ms, self.n)
+        r_digits, r_neg = _signed_digits(rs, self.n)
         if np.any(r_neg):
             raise ValueError("randomness must be non-negative")
-        pt = _encrypt_kernel(self.dev, m_bits, jnp.asarray(m_neg), r_bits)
+        pt = _encrypt_kernel(self.dev, m_digits, jnp.asarray(m_neg), r_digits)
         return Ciphertext(pt, level2=False)
 
     def encrypt_deterministic(self, ms) -> "Ciphertext":
         """C = P^m (EncryptDeterministic, bgn.go:325-331)."""
-        m_bits, m_neg = _signed_bits(ms, self.n)
-        pt = _encrypt_det_kernel(self.dev, m_bits, jnp.asarray(m_neg))
+        m_digits, m_neg = _signed_digits(ms, self.n)
+        pt = _encrypt_det_kernel(self.dev, m_digits, jnp.asarray(m_neg))
         return Ciphertext(pt, level2=False)
 
     def encrypt_zero(self, batch: int = 1) -> "Ciphertext":
@@ -213,10 +214,11 @@ class BGNPublicKey:
         """Multiply by Q^r unless deterministic (e.g. bgn.go:484-496)."""
         if self.deterministic:
             return pt
-        r_bits, _ = _signed_bits([_rand_below(self.n, rng)
-                                  for _ in range(_flat(pt.inf.shape))], self.n)
-        r_bits = r_bits.reshape((r_bits.shape[0],) + pt.inf.shape)
-        return _rerand_l1_kernel(self.dev, pt, r_bits)
+        r_digits, _ = _signed_digits(
+            [_rand_below(self.n, rng)
+             for _ in range(_flat(pt.inf.shape))], self.n)
+        r_digits = r_digits.reshape((r_digits.shape[0],) + pt.inf.shape)
+        return _rerand_l1_kernel(self.dev, pt, r_digits)
 
     def _rerandomize_l2(self, z, rng):
         """Multiply by e(Q,Q)^r unless deterministic (e.g. bgn.go:462-475)."""
@@ -337,6 +339,8 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
         l_bits=jnp.asarray(lb.int_to_bits(params.l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
+        p_win=_window_table(ctx, gk.P, params.p, key_bits),
+        q_win=_window_table(ctx, gk.Q, params.p, key_bits),
     )
     poly_params = PolyEncodingParams(poly_base, fp_scale_base, fp_precision)
     pk = BGNPublicKey(key_bits=key_bits, n=params.n, l=params.l, p=params.p,
@@ -352,6 +356,48 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
 # ---------------------------------------------------------------------------
 # Host-side helpers
 # ---------------------------------------------------------------------------
+
+
+_WINDOW_BITS = 4
+
+
+def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
+    """Host-side radix-16 fixed-base table: entry (j, d) = base^(d*16^j).
+
+    The reference has no analog (PBC recomputes scalar mults each call);
+    this is the TPU-side answer to encryption's Q^r ladder being as
+    expensive as a pairing (docs/PERF.md)."""
+    J = -(-key_bits // _WINDOW_BITS)
+    rows = []
+    gen = base
+    for _ in range(J):
+        acc = None
+        row = [None]
+        for _ in range(15):
+            acc = hm.ec_add(acc, gen, p)
+            row.append(acc)
+        rows.extend(row)
+        for _ in range(_WINDOW_BITS):
+            gen = hm.ec_dbl(gen, p)
+    ap = convert.affine_from_host(ctx, rows)
+    L = ctx.L
+    return cv.AffinePoint(ap.x.reshape(L, J, 16), ap.y.reshape(L, J, 16),
+                          ap.inf.reshape(J, 16))
+
+
+def _signed_digits(values, n: int):
+    """Host ints -> (radix-16 digits [J, B] uint32 of |v| mod n,
+    neg mask [B]).  J is bucketed like _bits_width for jit-cache reuse."""
+    values = [int(v) for v in np.atleast_1d(np.asarray(values, dtype=object))]
+    neg = np.asarray([1 if v < 0 else 0 for v in values], dtype=np.uint32)
+    mags = [abs(v) % n for v in values]
+    nbits = min(_bits_width(mags), n.bit_length())
+    J = -(-nbits // _WINDOW_BITS)
+    digits = np.zeros((J, len(mags)), dtype=np.uint32)
+    for b, v in enumerate(mags):
+        for j in range(J):
+            digits[j, b] = (v >> (_WINDOW_BITS * j)) & 0xF
+    return jnp.asarray(digits), neg
 
 
 def _rand_below(n: int, rng=None) -> int:
@@ -401,20 +447,20 @@ def _const_list(ks, batch_shape):
 
 
 @jax.jit
-def _encrypt_kernel(dev: PublicDeviceKey, m_bits, m_neg, r_bits):
+def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
     ctx = dev.ctx
-    g = cv.scalar_mul(ctx, dev.P, m_bits)            # P^|m|
+    g = cv.fixed_base_mul(ctx, dev.p_win, m_digits)  # P^|m|
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
-    h = cv.scalar_mul(ctx, dev.Q, r_bits)            # Q^r
+    h = cv.fixed_base_mul(ctx, dev.q_win, r_digits)  # Q^r
     h_aff = cv.normalize(ctx, h)
     c = cv.madd(ctx, g, h_aff)
     return cv.normalize(ctx, c)
 
 
 @jax.jit
-def _encrypt_det_kernel(dev: PublicDeviceKey, m_bits, m_neg):
+def _encrypt_det_kernel(dev: PublicDeviceKey, m_digits, m_neg):
     ctx = dev.ctx
-    g = cv.scalar_mul(ctx, dev.P, m_bits)
+    g = cv.fixed_base_mul(ctx, dev.p_win, m_digits)
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
     return cv.normalize(ctx, g)
 
@@ -467,9 +513,9 @@ def _mult_const_l2_kernel(dev, a, k_bits, k_neg):
 
 
 @jax.jit
-def _rerand_l1_kernel(dev, pt: cv.AffinePoint, r_bits):
+def _rerand_l1_kernel(dev, pt: cv.AffinePoint, r_digits):
     ctx = dev.ctx
-    h = cv.normalize(ctx, cv.scalar_mul(ctx, dev.Q, r_bits))
+    h = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.q_win, r_digits))
     return cv.normalize(ctx, cv.add_affine(ctx, pt, h))
 
 

@@ -25,7 +25,7 @@ from . import hostmath as hm
 from .fieldcore import limbs as lb
 from .ops import curve as cv
 from .scheme import (BGNPublicKey, BGNSecretKey, Ciphertext,
-                     PolyEncodingParams, PublicDeviceKey, keygen)
+                     PolyEncodingParams, PublicDeviceKey)
 from .utils import convert
 
 _FORMAT_VERSION = 1
@@ -82,7 +82,7 @@ def public_key_from_json(s: str) -> BGNPublicKey:
     device context from the serialized params."""
     from . import encoding
     from .fieldcore import montgomery as mg
-    from .scheme import _L_MARGIN_BITS
+    from .scheme import _L_MARGIN_BITS, _window_table
 
     d = json.loads(s)
     if d["version"] != _FORMAT_VERSION:
@@ -104,6 +104,8 @@ def public_key_from_json(s: str) -> BGNPublicKey:
         l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
+        p_win=_window_table(ctx, P_host, p, key_bits),
+        q_win=_window_table(ctx, Q_host, p, key_bits),
     )
     poly_params = PolyEncodingParams(d["poly_base"], d["fp_scale_base"],
                                      d["fp_precision"])

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import secrets
 
-import numpy as np
-
 
 def random_ints_below(n: int, count: int, rng=None):
     """count uniform ints in [0, n) (host, exact rejection sampling)."""
