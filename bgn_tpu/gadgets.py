@@ -24,7 +24,7 @@ import numpy as np
 from . import serialize
 from .ops import curve as cv
 from .scheme import BGNPublicKey, BGNSecretKey, Ciphertext, _rand_below, \
-    _signed_bits
+    _signed_bits, _signed_digits
 from .utils import convert
 
 
@@ -104,16 +104,17 @@ def check_proof_of_plaintext_knowledge(
     cs = _fiat_shamir(pk, proof.ct, proof.nonce)
     res = _pok_verify_kernel(pk.dev, ct.data, proof.nonce.data,
                              *_signed_bits(cs, pk.n),
-                             *_signed_bits(proof.dl, pk.n))
+                             *_signed_digits(proof.dl, pk.n))
     return np.asarray(res).astype(bool)
 
 
 # Keep the verifier's group algebra in one jitted kernel.
 @jax.jit
 def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
-                       c_bits, c_neg, dl_bits, dl_neg):
+                       c_bits, c_neg, dl_digits, dl_neg):
     ctx = dev.ctx
-    lhs = cv.normalize(ctx, cv.scalar_mul(ctx, dev.P, dl_bits))  # P^DL
+    # P^DL via the fixed-base window table; ct^c needs the generic ladder
+    lhs = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.p_win, dl_digits))
     rhs = cv.scalar_mul(ctx, ct_pt, c_bits)                      # ct^c
     rhs_aff = cv.normalize(ctx, rhs)
     rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt))

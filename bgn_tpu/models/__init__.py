@@ -1,2 +1,2 @@
 """Application-level encrypted workloads built on the scheme primitives."""
-from .encrypted_dot import encrypted_dot  # noqa: F401
+from . import aggregation, encrypted_dot  # noqa: F401

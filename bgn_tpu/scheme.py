@@ -108,19 +108,30 @@ class BGNPublicKey:
         return self.encrypt_with_randomness(ms, rs)
 
     def encrypt_with_randomness(self, ms, rs) -> "Ciphertext":
-        """C = P^m * Q^r (EncryptWithRandomness, bgn.go:340-353)."""
-        m_digits, m_neg = _signed_digits(ms, self.n)
-        r_digits, r_neg = _signed_digits(rs, self.n)
+        """C = P^m * Q^r (EncryptWithRandomness, bgn.go:340-353).
+
+        Batches are padded to power-of-two buckets (min 8) so the jit
+        cache sees few distinct shapes; padding lanes encrypt 0 and are
+        sliced off."""
+        ms = _to_list(ms)
+        rs = _to_list(rs)
+        B = len(ms)
+        Bp = _bucket(B)
+        m_digits, m_neg = _signed_digits(ms + [0] * (Bp - B), self.n)
+        r_digits, r_neg = _signed_digits(rs + [0] * (Bp - B), self.n)
         if np.any(r_neg):
             raise ValueError("randomness must be non-negative")
         pt = _encrypt_kernel(self.dev, m_digits, jnp.asarray(m_neg), r_digits)
-        return Ciphertext(pt, level2=False)
+        return Ciphertext(pt, level2=False)[:B]
 
     def encrypt_deterministic(self, ms) -> "Ciphertext":
         """C = P^m (EncryptDeterministic, bgn.go:325-331)."""
-        m_digits, m_neg = _signed_digits(ms, self.n)
+        ms = _to_list(ms)
+        B = len(ms)
+        Bp = _bucket(B)
+        m_digits, m_neg = _signed_digits(ms + [0] * (Bp - B), self.n)
         pt = _encrypt_det_kernel(self.dev, m_digits, jnp.asarray(m_neg))
-        return Ciphertext(pt, level2=False)
+        return Ciphertext(pt, level2=False)[:B]
 
     def encrypt_zero(self, batch: int = 1) -> "Ciphertext":
         """E_det(0) = O (encryptZero, bgn.go:562-564)."""
@@ -268,8 +279,8 @@ class BGNSecretKey:
         else:
             found, m = _decrypt_l1_kernel(pk.dev, tables, self.q1_bits,
                                           ct.data)
-        return (np.asarray(m, dtype=np.int64),
-                np.asarray(found).astype(bool))
+        return (np.atleast_1d(np.asarray(m, dtype=np.int64)),
+                np.atleast_1d(np.asarray(found)).astype(bool))
 
 
 @jax.tree_util.register_dataclass
@@ -409,6 +420,18 @@ def _rand_below(n: int, rng=None) -> int:
 
 def _flat(shape) -> int:
     return int(np.prod(shape, dtype=int)) if shape else 1
+
+
+def _to_list(values):
+    return [int(v) for v in np.atleast_1d(np.asarray(values, dtype=object))]
+
+
+def _bucket(b: int) -> int:
+    """Next power of two >= b (min 8), to bound distinct compile shapes."""
+    n = 8
+    while n < b:
+        n *= 2
+    return n
 
 
 def _bits_width(values) -> int:

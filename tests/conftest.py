@@ -9,9 +9,12 @@ jax.config.update before any backend is initialized."""
 import os
 
 flags = os.environ.get("XLA_FLAGS", "")
+# xla_cpu_parallel_codegen_split_count=1: XLA:CPU sporadically SIGABRTs
+# while compiling our large unrolled/scan graphs with parallel codegen.
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_parallel_codegen_split_count=1").strip()
 
 import jax  # noqa: E402
 

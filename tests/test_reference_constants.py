@@ -30,14 +30,15 @@ def test_512bit_end_to_end(keypair):
     pk, sk, tables = keypair
     assert pk.key_bits == KEYBITS
     assert pk.n.bit_length() in (KEYBITS - 1, KEYBITS)
-    a = pk.encrypt([3, 0, -7, 1000])
+    # decryptable range is bound^2 + bound + 2 = 1058 at msgSpace 1021
+    a = pk.encrypt([3, 0, -7, 500])
     b = pk.encrypt([5, 9, 2, 1])
-    assert list(sk.decrypt(a, pk, tables)) == [3, 0, -7, 1000]
-    assert list(sk.decrypt(pk.add(a, b), pk, tables)) == [8, 9, -5, 1001]
+    assert list(sk.decrypt(a, pk, tables)) == [3, 0, -7, 500]
+    assert list(sk.decrypt(pk.add(a, b), pk, tables)) == [8, 9, -5, 501]
     prod = pk.mult(a, b)
-    assert list(sk.decrypt(prod, pk, tables)) == [15, 0, -14, 1000]
+    assert list(sk.decrypt(prod, pk, tables)) == [15, 0, -14, 500]
     assert list(sk.decrypt(pk.mult_const(a, 2), pk, tables)) == \
-        [6, 0, -14, 2000]
+        [6, 0, -14, 1000]
 
 
 def test_512bit_poly_rational(keypair):
