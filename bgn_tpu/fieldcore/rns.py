@@ -1,0 +1,439 @@
+"""RNS (residue number system) Montgomery arithmetic on the MXU.
+
+The digit-CIOS kernels (pallas_mont.py / pallas_pairing.py) are VPU/VMEM
+bound: every 512-bit modmul is an O(L^2) sequential carry dance on the
+vector unit.  This module re-represents F_p elements as residues modulo
+~2k independent 12-bit primes, which turns a modular multiplication into
+
+  1. channelwise products            (O(k) VPU, all values < 2^24 so
+                                      plain fp32 FMAs are exact)
+  2. two *base extensions*, each a   [batch, 2k] x [2k, 3k+1] bf16 matmul
+     (Bajard/Kawamura RNS Montgomery  against a host-precomputed constant
+     reduction)                       matrix -- exactly the MXU's shape.
+
+That moves the O(k^2) inner work from the VPU (≈1 TFLOP/s achieved) to the
+MXU (~2 orders of magnitude ahead on MACs), the round-1 PERF.md design
+target.  Functional replacement for the GMP mulmod layer underneath PBC
+(reference README.md:10-25); consumed by ops/rns_pairing.py for the Miller
+loop of Element.Pair (reference bgn.go:300).
+
+Representation
+--------------
+A value x (0 <= x < ~30p) is a float32 array [..., 2k] of residues
+x mod m_c, channels last.  Moduli are 12-bit primes: base A = m[:k],
+base B = m[k:].  Montgomery domain uses R_rns = A = prod(m[:k]); the
+context guarantees the *headroom* h = A//p >= 1024, so all the static
+value bounds below hold.  `RVal` pairs the residue array with its static
+bound (a Python int multiple of p); `r_mul` asserts bound_x*bound_y <= h
+at trace time -- the bound bookkeeping is free at runtime.
+
+Algorithm (one r_mul, following Bajard et al. / Kawamura's Cox-Rower
+approximate base extension):
+  d   = x*y mod m          (both bases, channelwise)
+  q   = d * (-p^-1) mod a  (base A)
+  q~  = q * (A/a_i)^-1 mod a_i
+  qB  = ext_{A->B}(q~): S_j = sum_i q~_i * (A/a_i mod b_j) - alpha*A mod b_j
+        with alpha = floor(sum_i q~_i/a_i) estimated from an extra matmul
+        column; an alpha underestimate only adds +p to the result
+        (tolerated by the bound algebra -- see _combine_ext).
+  r   = (d + qB*p) * A^-1 mod b   (base B; exact, r < 3p)
+  rA  = ext_{B->A}(r~)            (alpha exact here since r/B < 2^-8)
+The 6-bit digit splitting keeps every matmul partial sum < 2^24 so bf16
+inputs with fp32 MXU accumulation are bit-exact.
+
+Exactness audit: every fp32 value in this module is a nonnegative integer
+< 2^24 (or an exact product <= 4095*4095 < 2^24), every bf16 matmul input
+has <= 8 significant bits, and every fp32 matmul accumulator stays < 2^24
+except the alpha column (which only needs ~2^5 absolute accuracy against a
+2^19 scale).  Division only appears as multiply-by-reciprocal with a
+two-sided fixup (_red).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as lb
+
+# Static algorithm constants (see module docstring for the audit).
+_ALPHA_SCALE = 19          # alpha weights w = round(2^19 / m): 8-bit values
+_EPS_UNDER = -0.4          # ext1: bias alpha DOWN so the error is {0,+1}*A
+_EPS_EXACT = 0.5           # ext2/CRT: centered -> exact (value/base small)
+_KC = 128                  # C = KC*m bias in _combine_ext; needs alpha < KC
+_H_MIN = 1024              # required headroom A/p (max static bound product
+                           # in the pairing formulas is 900 -- rns_pairing)
+
+
+def _primes_desc(lo: int = 2053, hi: int = 4096) -> list:
+    """12-bit primes, descending (host, tiny sieve)."""
+    sieve = np.ones(hi, dtype=bool)
+    sieve[:2] = False
+    for i in range(2, int(hi ** 0.5) + 1):
+        if sieve[i]:
+            sieve[i * i::i] = False
+    ps = np.nonzero(sieve)[0]
+    ps = ps[ps >= lo]
+    return [int(v) for v in ps[::-1]]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RNSCtx:
+    """Device constants for one modulus p.  Meta fields are static ints."""
+
+    # channel moduli and reciprocals, both bases concatenated: [2k]
+    m: jax.Array               # f32 moduli
+    recip: jax.Array           # f32 1/m (f64-accurate, rounded to f32)
+    kp: jax.Array              # f32 [KMAX+1, 2k]: (K*p) mod m_c  (for r_sub)
+    # ext A->B (inside r_mul)
+    negpinv_a: jax.Array       # f32 [k]: (-p)^-1 mod a_i
+    crt_inv_a: jax.Array       # f32 [k]: (A/a_i)^-1 mod a_i
+    w1: jax.Array              # bf16 [2k, 3k+1]: split ext matrix + alpha col
+    a_mod_b: jax.Array         # f32 [k]: A mod b_j
+    p_mod_b: jax.Array         # f32 [k]: p mod b_j
+    ainv_b: jax.Array          # f32 [k]: A^-1 mod b_j
+    # ext B->A
+    crt_inv_b: jax.Array       # f32 [k]: (B/b_j)^-1 mod b_j
+    w2: jax.Array              # bf16 [2k, 3k+1]
+    b_mod_a: jax.Array         # f32 [k]: B mod a_i
+    # domain constants (residues over both bases): [2k]
+    one_rns: jax.Array         # f32: residues of A mod p  (Montgomery 1)
+    c_in: jax.Array            # f32: residues of A^2 * R^-1 mod p (entry)
+    c_out: jax.Array           # f32: residues of R mod p          (exit)
+    # conversions
+    pow2_8: jax.Array          # i32 [D8in, 2k]: 2^(8*d) mod m_c
+    crt_rows: jax.Array        # i32 [k, D8]: 8-bit digit rows of A/a_i
+    a_rows: jax.Array          # i32 [D8]: 8-bit digit rows of A
+    w_alpha_a: jax.Array       # f32 [k]: round(2^19/a_i) (exit CRT alpha)
+    p_limbs: jax.Array         # u32 [L+1]: p as 16-bit limbs (exit reduce)
+    # static
+    k: int = dataclasses.field(metadata=dict(static=True))
+    h: int = dataclasses.field(metadata=dict(static=True))
+    L: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def mA(self):
+        return self.m[:self.k]
+
+    @property
+    def mB(self):
+        return self.m[self.k:]
+
+
+_KMAX = 32  # largest ceil(bound) ever passed to r_sub (max in pairing: 27)
+
+
+def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
+    """Build the RNS context for modulus p (host-side, exact python ints).
+
+    L: limb count of the companion limb-domain MontCtx (R = 2^(16L));
+    defaults to the minimal width, matching make_mont_ctx."""
+    if L is None:
+        L = lb.num_limbs_for_bits(p.bit_length())
+    R = 1 << (16 * L)
+    if not (p % 2 and p > (1 << 13)):
+        raise ValueError("modulus must be an odd prime > 2^13")
+
+    primes = _primes_desc()
+    # Interleave primes between the bases so their products stay balanced;
+    # grow k until BOTH have headroom >= _H_MIN.
+    A, B, k = 1, 1, 0
+    target = p * _H_MIN
+    while A < target or B < target:
+        if 2 * k + 1 >= len(primes):
+            raise ValueError(
+                "modulus too large for the 12-bit RNS prime pool")
+        A *= primes[2 * k]
+        B *= primes[2 * k + 1]
+        k += 1
+    if k > 102:
+        # alpha-estimate error is k*2^-8; must stay under the 0.4 bias
+        raise ValueError("modulus too large: alpha estimate would overflow")
+    A_list = primes[0:2 * k:2]
+    B_list = primes[1:2 * k:2]
+    h = A // p
+    assert h >= _H_MIN and B // p >= _H_MIN
+
+    m_all = A_list + B_list
+    f32 = np.float32
+    m_np = np.array(m_all, dtype=np.int64)
+
+    def residues(x: int) -> np.ndarray:
+        return np.array([x % m for m in m_all], dtype=f32)
+
+    # --- ext A->B constants
+    negpinv_a = np.array([(-pow(p, -1, a)) % a for a in A_list], dtype=f32)
+    AoverAi = [A // a for a in A_list]
+    crt_inv_a = np.array(
+        [pow(AoverAi[i] % A_list[i], -1, A_list[i]) for i in range(k)],
+        dtype=f32)
+    mat1 = np.array([[AoverAi[i] % b for b in B_list] for i in range(k)],
+                    dtype=np.int64)
+    w1a = np.array([round((1 << _ALPHA_SCALE) / a) for a in A_list],
+                   dtype=np.int64)
+    a_mod_b = np.array([A % b for b in B_list], dtype=f32)
+    p_mod_b = np.array([p % b for b in B_list], dtype=f32)
+    ainv_b = np.array([pow(A % b, -1, b) for b in B_list], dtype=f32)
+
+    # --- ext B->A constants
+    BoverBj = [B // b for b in B_list]
+    crt_inv_b = np.array(
+        [pow(BoverBj[j] % B_list[j], -1, B_list[j]) for j in range(k)],
+        dtype=f32)
+    mat2 = np.array([[BoverBj[j] % a for a in A_list] for j in range(k)],
+                    dtype=np.int64)
+    w2a = np.array([round((1 << _ALPHA_SCALE) / b) for b in B_list],
+                   dtype=np.int64)
+    b_mod_a = np.array([B % a for a in A_list], dtype=f32)
+
+    def split_w(mat: np.ndarray, w: np.ndarray) -> np.ndarray:
+        """[k,k] int matrix + [k] alpha weights -> bf16 [2k, 3k+1].
+
+        Input rows are [hi(6b), lo(6b)] digit halves of the source residues;
+        output columns are the three weighted blocks (S = 4096*O1 + 64*O2
+        + O3) plus the alpha-estimate column."""
+        hi, lo = mat >> 6, mat & 63
+        W = np.zeros((2 * k, 3 * k + 1), dtype=np.float32)
+        W[:k, 0:k] = hi
+        W[:k, k:2 * k] = lo
+        W[k:, k:2 * k] = hi
+        W[k:, 2 * k:3 * k] = lo
+        W[:k, 3 * k] = w * 64
+        W[k:, 3 * k] = w
+        Wb = W.astype(jnp.bfloat16)
+        assert np.array_equal(np.asarray(Wb, dtype=np.float32), W)
+        return Wb
+
+    # --- conversions
+    d8_in = 2 * L  # 8-bit digit rows of a 16L-bit input
+    pow2_8 = np.array([[pow(256, d, m) for m in m_all] for d in range(d8_in)],
+                      dtype=np.int32)
+    D8 = -(-(12 * k) // 8) + 1
+    def rows8(x: int, n: int) -> np.ndarray:
+        return np.array([(x >> (8 * d)) & 0xFF for d in range(n)],
+                        dtype=np.int32)
+    crt_rows = np.stack([rows8(AoverAi[i], D8) for i in range(k)])
+    a_rows = rows8(A, D8)
+
+    kmax_p = np.array(
+        [[(K * p) % m for m in m_all] for K in range(_KMAX + 1)], dtype=f32)
+
+    recip = (1.0 / m_np.astype(np.float64)).astype(f32)
+
+    return RNSCtx(
+        m=jnp.asarray(m_np.astype(f32)),
+        recip=jnp.asarray(recip),
+        kp=jnp.asarray(kmax_p),
+        negpinv_a=jnp.asarray(negpinv_a),
+        crt_inv_a=jnp.asarray(crt_inv_a),
+        w1=jnp.asarray(split_w(mat1, w1a)),
+        a_mod_b=jnp.asarray(a_mod_b),
+        p_mod_b=jnp.asarray(p_mod_b),
+        ainv_b=jnp.asarray(ainv_b),
+        crt_inv_b=jnp.asarray(crt_inv_b),
+        w2=jnp.asarray(split_w(mat2, w2a)),
+        b_mod_a=jnp.asarray(b_mod_a),
+        one_rns=jnp.asarray(residues(A % p)),
+        c_in=jnp.asarray(residues((A * A * pow(R, -1, p)) % p)),
+        c_out=jnp.asarray(residues(R % p)),
+        pow2_8=jnp.asarray(pow2_8),
+        crt_rows=jnp.asarray(crt_rows),
+        a_rows=jnp.asarray(a_rows),
+        w_alpha_a=jnp.asarray(w1a.astype(f32)),
+        p_limbs=jnp.asarray(lb.int_to_limbs(p, L + 1)),
+        k=k, h=h, L=L,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Channelwise primitives (all fp32, all values exact integers < 2^24)
+# ---------------------------------------------------------------------------
+
+
+def _red(v, m, recip):
+    """v mod m for integer-valued fp32 v with v <= 2^24 - 2^12.
+
+    q = floor(v/m) from the reciprocal may be off by one either way; the
+    two-sided fixup restores exactness (q*m <= v + m <= 2^24 stays exact)."""
+    q = jnp.floor(v * recip)
+    r = v - q * m
+    r = jnp.where(r < 0, r + m, r)
+    return jnp.where(r >= m, r - m, r)
+
+
+class RVal(NamedTuple):
+    """Residues + static value bound (value < bound * p).  NOT a pytree --
+    unwrap to .v before crossing scan/cond boundaries."""
+    v: jax.Array      # f32 [..., 2k]
+    bound: int
+
+
+def _split6(x):
+    """6-bit digit split for the bf16 matmul: [..., k] -> [..., 2k]."""
+    hi = jnp.floor(x * (1.0 / 64.0))
+    lo = x - hi * 64.0
+    return jnp.concatenate([hi, lo], axis=-1).astype(jnp.bfloat16)
+
+
+def _combine_ext(rns: RNSCtx, O, m_dst, recip_dst, base_mod_dst, eps):
+    """Matmul output -> destination-base residues of (value + e*base).
+
+    O: [..., 3k+1] fp32 from (split source digits) @ W.
+    S_j = 4096*O1 + 64*O2 + O3 is congruent to (value + alpha_true*base)
+    mod each destination channel; alpha_hat = floor(Sa/2^19 + eps).  With
+    eps=_EPS_UNDER the residual e = alpha_true - alpha_hat is in {0, 1}
+    (value read as value + e*base); with eps=_EPS_EXACT and value/base
+    < 2^-8 the extension is exact (e = 0)."""
+    k = rns.k
+    O1, O2, O3, Sa = O[..., :k], O[..., k:2 * k], O[..., 2 * k:3 * k], \
+        O[..., 3 * k]
+    v = _red(O1 * 64.0 + O2, m_dst, recip_dst)
+    S = _red(v * 64.0 + O3, m_dst, recip_dst)
+    alpha = jnp.floor(Sa * (1.0 / (1 << _ALPHA_SCALE)) + eps)
+    T = S + _KC * m_dst - alpha[..., None] * base_mod_dst
+    return _red(T, m_dst, recip_dst), alpha
+
+
+def r_mul(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
+    """RNS Montgomery product: value (x*y/A) mod-ish p, bound 3.
+
+    Requires x.bound * y.bound <= h (checked at trace time)."""
+    assert x.bound * y.bound <= rns.h, (x.bound, y.bound, rns.h)
+    k = rns.k
+    mA, mB = rns.m[:k], rns.m[k:]
+    rA_m, rB_m = rns.recip[:k], rns.recip[k:]
+
+    d = _red(x.v * y.v, rns.m, rns.recip)          # both bases
+    dA, dB = d[..., :k], d[..., k:]
+    q = _red(dA * rns.negpinv_a, mA, rA_m)
+    qhat = _red(q * rns.crt_inv_a, mA, rA_m)
+    O = jax.lax.dot_general(
+        _split6(qhat), rns.w1, (((qhat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q_ext, _ = _combine_ext(rns, O, mB, rB_m, rns.a_mod_b, _EPS_UNDER)
+
+    t = _red(q_ext * rns.p_mod_b, mB, rB_m)
+    u = dB + t
+    u = jnp.where(u >= mB, u - mB, u)
+    r = _red(u * rns.ainv_b, mB, rB_m)             # base-B residues, < 3p
+
+    rhat = _red(r * rns.crt_inv_b, mB, rB_m)
+    O2 = jax.lax.dot_general(
+        _split6(rhat), rns.w2, (((rhat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    r_a, _ = _combine_ext(rns, O2, mA, rA_m, rns.b_mod_a, _EPS_EXACT)
+    return RVal(jnp.concatenate([r_a, r], axis=-1), 3)
+
+
+def r_add(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
+    s = x.v + y.v
+    s = jnp.where(s >= rns.m, s - rns.m, s)
+    return RVal(s, x.bound + y.bound)
+
+
+def r_sub(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
+    """x - y + K*p with K = y.bound, keeping the value nonnegative."""
+    K = y.bound
+    assert K <= _KMAX, K
+    t = x.v + rns.kp[K] - y.v                      # in (-m, 2m)
+    t = jnp.where(t < 0, t + rns.m, t)
+    t = jnp.where(t >= rns.m, t - rns.m, t)
+    return RVal(t, x.bound + K)
+
+
+def r_one(rns: RNSCtx, batch_shape=()) -> RVal:
+    return RVal(jnp.broadcast_to(rns.one_rns, batch_shape + rns.one_rns.shape),
+                1)
+
+
+def r_zero(rns: RNSCtx, batch_shape=()) -> RVal:
+    return RVal(jnp.zeros(batch_shape + (2 * rns.k,), jnp.float32), 1)
+
+
+# ---------------------------------------------------------------------------
+# Conversions (cold path: once per pairing)
+# ---------------------------------------------------------------------------
+
+
+def limbs_to_rns(rns: RNSCtx, x) -> jax.Array:
+    """Canonical 16-bit limbs [L, *batch] (< p) -> residues [*batch, 2k]."""
+    L = x.shape[0]
+    batch_shape = x.shape[1:]
+    lo = (x & 0xFF).astype(jnp.int32)
+    hi = (x >> 8).astype(jnp.int32)
+    d8 = jnp.stack([lo, hi], axis=1).reshape((2 * L,) + batch_shape)
+    d8 = jnp.moveaxis(d8, 0, -1)                   # [*batch, 2L]
+    S = jax.lax.dot_general(
+        d8, rns.pow2_8, (((d8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [*batch, 2k] < 2^26
+    # int-domain reduction (S exceeds fp32 exactness)
+    f = S.astype(jnp.float32)
+    q = jnp.floor(f * rns.recip).astype(jnp.int32)
+    m_i = rns.m.astype(jnp.int32)
+    r = S - q * m_i
+    r = jnp.where(r < 0, r + m_i, r)
+    r = jnp.where(r < 0, r + m_i, r)
+    r = jnp.where(r >= m_i, r - m_i, r)
+    r = jnp.where(r >= m_i, r - m_i, r)
+    return r.astype(jnp.float32)
+
+
+def rns_to_limbs(rns: RNSCtx, x: RVal):
+    """Exact CRT: residues (value < 3p) -> canonical limbs [L, *batch] < p.
+
+    x = sum_i xhat_i*(A/a_i) - alpha*A with alpha exact (value/A < 2^-8),
+    assembled in 8-bit digit rows with a statically unrolled signed carry
+    ripple, then reduced by up to two conditional subtractions of p."""
+    assert x.bound <= 8, x.bound
+    k, L = rns.k, rns.L
+    mA, rA_m = rns.m[:k], rns.recip[:k]
+    xa = x.v[..., :k]
+    xhat = _red(xa * rns.crt_inv_a, mA, rA_m)
+    alpha = jnp.floor(
+        jnp.sum(xhat * rns.w_alpha_a, axis=-1) * (1.0 / (1 << _ALPHA_SCALE))
+        + _EPS_EXACT).astype(jnp.int32)
+    S = jax.lax.dot_general(
+        xhat.astype(jnp.int32), rns.crt_rows,
+        (((xhat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [*batch, D8] < 2^27
+    T = S - alpha[..., None] * rns.a_rows          # signed rows
+    # signed carry ripple over the D8 digit rows (cold path, unrolled)
+    D8 = T.shape[-1]
+    digits = []
+    carry = jnp.zeros(T.shape[:-1], jnp.int32)
+    for j in range(D8):
+        t = T[..., j] + carry
+        carry = t >> 8                             # arithmetic shift: floor
+        digits.append(t - (carry << 8))
+    # 8-bit digits -> 16-bit limbs [L+1, *batch]
+    n16 = L + 1
+    rows = digits + [jnp.zeros_like(digits[0])] * (2 * n16 - D8)
+    rows = rows[:2 * n16]
+    lim = jnp.stack(
+        [(rows[2 * i] + (rows[2 * i + 1] << 8)).astype(jnp.uint32)
+         for i in range(n16)], axis=0)             # [L+1, *batch]
+    # value < 3p: subtract p up to twice
+    p_ext = lb.expand_to(rns.p_limbs, lim.shape)
+    for _ in range(2):
+        dsub, borrow = lb.sub(lim, p_ext)
+        lim = lb.select(borrow, lim, dsub)
+    return lim[:L]
+
+
+def to_rns_mont(rns: RNSCtx, x_mont_limbs) -> RVal:
+    """Limb Montgomery form (x*R mod p, [L, *batch]) -> RNS Montgomery form
+    (residues of x*A mod-ish p, bound 3)."""
+    v = limbs_to_rns(rns, x_mont_limbs)
+    return r_mul(rns, RVal(v, 1),
+                 RVal(jnp.broadcast_to(rns.c_in, v.shape), 1))
+
+
+def from_rns_mont(rns: RNSCtx, x: RVal):
+    """RNS Montgomery form -> limb Montgomery form (x*R mod p)."""
+    c = RVal(jnp.broadcast_to(rns.c_out, x.v.shape), 1)
+    return rns_to_limbs(rns, r_mul(rns, x, c))

@@ -27,7 +27,8 @@ def encrypted_dot_kernel(dev: PublicDeviceKey, x_pt: cv.AffinePoint,
                          y_pt: cv.AffinePoint):
     """[D, *batch] L1 points -> [*batch] GT element encrypting <x, y>."""
     ctx = dev.ctx
-    z = pairing_mod.pairing(ctx, x_pt, y_pt, dev.n_bits, dev.l_bits)
+    z = pairing_mod.pairing(ctx, x_pt, y_pt, dev.n_bits, dev.l_bits,
+                            rns=dev.rns)
     # GT product over the coordinate axis (axis 2), log-depth reduction
     D = z.shape[2]
     while D > 1:

@@ -50,6 +50,11 @@ from .curve import AffinePoint, JacPoint, to_jac
 # XLA path below (the semantics reference and CPU path).
 _USE_FUSED = os.environ.get("BGN_TPU_FUSED_MILLER", "1") != "0"
 
+# RNS/MXU Miller loop (ops/rns_pairing.py): modmuls become bf16 matmuls on
+# the MXU.  "1" forces it on every backend (tests), "0" disables, unset ->
+# on for TPU when the key has an RNS context.
+_RNS_MODE = os.environ.get("BGN_TPU_RNS_MILLER", "auto")
+
 
 def _dbl_with_line(ctx: MontCtx, v: JacPoint, xb, yb):
     """Jacobian doubling fused with tangent-line evaluation at phi(B)."""
@@ -235,12 +240,19 @@ def miller_loop_fused(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits):
     return jnp.stack([fr, fi], axis=0)
 
 
-def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits):
+def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits,
+            rns=None):
     """Full batched symmetric pairing e(A, B) -> GT [2, L, *batch].
 
     Identity inputs yield 1 (e(O, X) = 1), matching pbc semantics for
     makeL2 on encryptZero (reference bgn.go:316-321)."""
-    if _USE_FUSED and 2 * ctx.L + 1 <= 129 and \
+    use_rns = rns is not None and (
+        _RNS_MODE == "1"
+        or (_RNS_MODE == "auto" and jax.default_backend() == "tpu"))
+    if use_rns:
+        from . import rns_pairing
+        f = rns_pairing.miller_loop_rns(ctx, rns, a, b, n_bits)
+    elif _USE_FUSED and 2 * ctx.L + 1 <= 129 and \
             jax.default_backend() == "tpu":
         f = miller_loop_fused(ctx, a, b, n_bits)
     else:

@@ -57,6 +57,7 @@ class PublicDeviceKey:
     """Device-resident public key material (the pytree passed into jit)."""
 
     ctx: MontCtx
+    rns: Any                # RNSCtx (MXU Miller-loop path) or None
     P: cv.AffinePoint       # generator of G1, scalar batch ()
     Q: cv.AffinePoint       # generator of the order-q1 subgroup
     n_bits: jax.Array       # [key_bits] bits of n, MSB first (Miller loop)
@@ -344,6 +345,7 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
     e_qq = hm.tate_pairing(gk.Q, gk.Q, params)
     dev = PublicDeviceKey(
         ctx=ctx,
+        rns=_make_rns(params.p, L),
         P=convert.point_from_host(ctx, gk.P),
         Q=convert.point_from_host(ctx, gk.Q),
         n_bits=jnp.asarray(lb.int_to_bits(params.n, key_bits)),
@@ -367,6 +369,17 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
 # ---------------------------------------------------------------------------
 # Host-side helpers
 # ---------------------------------------------------------------------------
+
+
+def _make_rns(p: int, L: int):
+    """RNS context for the MXU Miller loop; None when p exceeds the
+    12-bit-channel design range (key_bits ~> 1150; falls back to the
+    digit-CIOS Pallas path)."""
+    from .fieldcore import rns as rn
+    try:
+        return rn.make_rns_ctx(p, L=L)
+    except ValueError:
+        return None
 
 
 _WINDOW_BITS = 4
@@ -512,12 +525,14 @@ def _sub_l2_kernel(dev, a, b):
 
 @jax.jit
 def _mult_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
-    return pairing_mod.pairing(dev.ctx, a, b, dev.n_bits, dev.l_bits)
+    return pairing_mod.pairing(dev.ctx, a, b, dev.n_bits, dev.l_bits,
+                               rns=dev.rns)
 
 
 @jax.jit
 def _make_l2_kernel(dev, a: cv.AffinePoint):
-    return pairing_mod.pairing(dev.ctx, a, dev.P, dev.n_bits, dev.l_bits)
+    return pairing_mod.pairing(dev.ctx, a, dev.P, dev.n_bits, dev.l_bits,
+                               rns=dev.rns)
 
 
 @jax.jit

@@ -82,7 +82,7 @@ def public_key_from_json(s: str) -> BGNPublicKey:
     device context from the serialized params."""
     from . import encoding
     from .fieldcore import montgomery as mg
-    from .scheme import _L_MARGIN_BITS, _window_table
+    from .scheme import _L_MARGIN_BITS, _make_rns, _window_table
 
     d = json.loads(s)
     if d["version"] != _FORMAT_VERSION:
@@ -98,6 +98,7 @@ def public_key_from_json(s: str) -> BGNPublicKey:
     e_qq = hm.tate_pairing(Q_host, Q_host, params)
     dev = PublicDeviceKey(
         ctx=ctx,
+        rns=_make_rns(p, L),
         P=convert.point_from_host(ctx, P_host),
         Q=convert.point_from_host(ctx, Q_host),
         n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),

@@ -1,0 +1,150 @@
+"""RNS/MXU Montgomery arithmetic (fieldcore/rns.py) against exact ints,
+and the RNS Miller loop (ops/rns_pairing.py) against the XLA reference
+path -- they must agree bit-for-bit after domain conversion.
+"""
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bgn_tpu.fieldcore import limbs as lb
+from bgn_tpu.fieldcore import montgomery as mg
+from bgn_tpu.fieldcore import rns as rn
+
+
+def _rand_prime(bits, rng):
+    while True:
+        c = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+        if all(pow(a, c - 1, c) == 1 for a in (2, 3, 5, 7, 11, 13, 17, 19)):
+            return c
+
+
+def _base_a(ctx):
+    return rn._primes_desc()[0:2 * ctx.k:2]
+
+
+def _crt_val(ctx, v_np, b):
+    """Exact value from base-A residues (host CRT)."""
+    acc, mod = 0, 1
+    for i, mi in enumerate(_base_a(ctx)):
+        t = ((int(v_np[b, i]) - acc) * pow(mod % mi, -1, mi)) % mi
+        acc += mod * t
+        mod *= mi
+    return acc
+
+
+@pytest.mark.parametrize("bits", [80, 220, 515])
+def test_rns_mul_exact(bits):
+    rng = random.Random(bits)
+    p = _rand_prime(bits, rng)
+    ctx = rn.make_rns_ctx(p)
+    A = 1
+    for q in _base_a(ctx):
+        A *= q
+    Ainv = pow(A, -1, p)
+
+    B = 48
+    xs = [rng.randrange(p) for _ in range(B)]
+    ys = [rng.randrange(p) for _ in range(B)]
+    xs[:3] = [0, 1, p - 1]
+    ys[:3] = [0, p - 1, p - 1]
+    xv = rn.RVal(rn.limbs_to_rns(ctx, jnp.asarray(lb.ints_to_limbs(xs, ctx.L))), 1)
+    yv = rn.RVal(rn.limbs_to_rns(ctx, jnp.asarray(lb.ints_to_limbs(ys, ctx.L))), 1)
+
+    z = rn.r_mul(ctx, xv, yv)
+    z_np = np.asarray(z.v)
+    for b in range(B):
+        want = xs[b] * ys[b] * Ainv % p
+        got = _crt_val(ctx, z_np, b)
+        assert got % p == want
+        assert got < 3 * p
+
+    # exit conversion is exact and canonical
+    back = lb.limbs_to_ints(np.asarray(rn.rns_to_limbs(ctx, z)))
+    for b in range(B):
+        assert back[b] == xs[b] * ys[b] * Ainv % p
+
+
+def test_rns_bound_growth_and_domain():
+    """Adds/subs up to the pairing's worst-case bounds, then multiply;
+    plus limb-Montgomery entry/exit round trip."""
+    rng = random.Random(99)
+    p = _rand_prime(200, rng)
+    ctx = rn.make_rns_ctx(p)
+    mctx = mg.make_mont_ctx(p)
+    A = 1
+    for q in _base_a(ctx):
+        A *= q
+    Ainv = pow(A, -1, p)
+
+    B = 16
+    xs = [rng.randrange(p) for _ in range(B)]
+    ys = [rng.randrange(p) for _ in range(B)]
+    xv = rn.RVal(rn.limbs_to_rns(ctx, jnp.asarray(lb.ints_to_limbs(xs, ctx.L))), 1)
+    yv = rn.RVal(rn.limbs_to_rns(ctx, jnp.asarray(lb.ints_to_limbs(ys, ctx.L))), 1)
+
+    a = rn.r_mul(ctx, xv, yv)
+    bb = rn.r_mul(ctx, yv, yv)
+    s = a
+    for _ in range(8):
+        s = rn.r_add(ctx, s, bb)      # bound 27
+    d = rn.r_sub(ctx, xv, s)          # bound 28
+    z = rn.r_mul(ctx, d, s)           # 28*27 = 756 <= h
+    z_np = np.asarray(z.v)
+    for b in range(B):
+        va = xs[b] * ys[b] * Ainv % p
+        vb = ys[b] * ys[b] * Ainv % p
+        want = (xs[b] - (va + 8 * vb)) * (va + 8 * vb) * Ainv % p
+        assert _crt_val(ctx, z_np, b) % p == want
+
+    # Montgomery-domain entry/exit: x*R limbs -> x*A residues -> x*R limbs
+    xm = mg.to_mont(mctx, jnp.asarray(lb.ints_to_limbs(xs, ctx.L)))
+    rv = rn.to_rns_mont(ctx, xm)
+    rv_np = np.asarray(rv.v)
+    for b in range(B):
+        assert _crt_val(ctx, rv_np, b) % p == xs[b] * A % p
+    back = rn.from_rns_mont(ctx, rv)
+    assert lb.limbs_to_ints(np.asarray(back)) == \
+        lb.limbs_to_ints(np.asarray(xm))
+
+
+def test_rns_miller_matches_xla(monkeypatch):
+    """The RNS Miller loop agrees bit-for-bit with the XLA reference path
+    (same pairing, different field representation)."""
+    from bgn_tpu import scheme
+    from bgn_tpu.ops import pairing as pairing_mod
+    from bgn_tpu.ops import rns_pairing
+
+    rng = random.Random(5)
+    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    dev = pk.dev
+    assert dev.rns is not None
+
+    ms = [0, 1, 2, 7, 100, 55]
+    ks = [1, 3, 5, 2, 99, 4]
+    a = pk.encrypt(ms, rng=rng).data
+    b = pk.encrypt(ks, rng=rng).data
+
+    f_ref = pairing_mod.miller_loop(dev.ctx, a, b, dev.n_bits)
+    f_rns = rns_pairing.miller_loop_rns(dev.ctx, dev.rns, a, b, dev.n_bits)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_rns))
+
+
+def test_rns_scheme_end_to_end(monkeypatch):
+    """Force the RNS pairing inside the scheme: EMult + decrypt round trip."""
+    monkeypatch.setattr(
+        __import__("bgn_tpu.ops.pairing", fromlist=["x"]), "_RNS_MODE", "1")
+    from bgn_tpu import scheme
+
+    rng = random.Random(21)
+    pk, sk = scheme.keygen(64, 101, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+
+    ms = [0, 1, 5, 9]
+    ks = [7, 3, 0, 9]
+    c1 = pk.encrypt(ms, rng=rng)
+    c2 = pk.encrypt(ks, rng=rng)
+    prod = pk.mult(c1, c2)
+    got = sk.decrypt(prod, pk, tables)
+    assert list(got) == [m * k for m, k in zip(ms, ks)]

@@ -74,9 +74,14 @@ def test_mult_and_l2_ops(keypair):
     prod = pk.mult(a, b)
     assert prod.level2
     assert list(sk.decrypt(prod, pk, tables)) == [12, 0, 0, 900]
-    # L2 add/sub
+    # L2 add/sub.  1800 exceeds the BSGS range at msg_space 1021
+    # (max m = bound^2 + bound_t + 1 = 1058, gsbs.go:98): the reference's
+    # Decrypt errors there too, and DecryptFailSafe maps it to 0.
     s = pk.add(prod, prod)
-    assert list(sk.decrypt(s, pk, tables)) == [24, 0, 0, 1800]
+    vals, ok = sk.decrypt_with_status(s, pk, tables)
+    assert list(vals[:3]) == [24, 0, 0] and all(ok[:3])
+    assert not ok[3]
+    assert list(sk.decrypt_failsafe(s, pk, tables)) == [24, 0, 0, 0]
     d = pk.sub(s, prod)
     assert list(sk.decrypt(d, pk, tables)) == [12, 0, 0, 900]
     # negative L2 values decrypt via the inverse retry
