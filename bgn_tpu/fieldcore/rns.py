@@ -330,6 +330,26 @@ def r_mul(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
     return RVal(jnp.concatenate([r_a, r], axis=-1), 3)
 
 
+def r_mul_many(rns: RNSCtx, pairs) -> list:
+    """Stacked r_mul over independent (x, y) RVal pairs of equal shape.
+
+    One dot_general serves the whole group (the pairs join along the
+    matmul M dimension), amortizing launch overhead and filling the MXU;
+    the Miller steps feed their per-dependency-layer mul groups here.
+    Concatenation along the leading (sublane) axis keeps the stacked
+    arrays 2-D, which is also what the Pallas in-kernel path (Mosaic)
+    supports for its dots."""
+    for x, y in pairs:
+        assert x.bound * y.bound <= rns.h, (x.bound, y.bound, rns.h)
+    if len(pairs) == 1:
+        return [r_mul(rns, *pairs[0])]
+    n = pairs[0][0].v.shape[0]
+    xs = jnp.concatenate([x.v for x, _ in pairs], axis=0)
+    ys = jnp.concatenate([y.v for _, y in pairs], axis=0)
+    out = r_mul(rns, RVal(xs, 1), RVal(ys, 1)).v
+    return [RVal(out[i * n:(i + 1) * n], 3) for i in range(len(pairs))]
+
+
 def r_add(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
     s = x.v + y.v
     s = jnp.where(s >= rns.m, s - rns.m, s)

@@ -251,13 +251,14 @@ def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits,
         or (_RNS_MODE == "auto" and jax.default_backend() == "tpu"))
     if use_rns:
         from . import rns_pairing
-        f = rns_pairing.miller_loop_rns(ctx, rns, a, b, n_bits)
+        z = rns_pairing.pairing_rns(ctx, rns, a, b, n_bits, l_bits)
     elif _USE_FUSED and 2 * ctx.L + 1 <= 129 and \
             jax.default_backend() == "tpu":
         f = miller_loop_fused(ctx, a, b, n_bits)
+        z = final_exponentiation(ctx, f, l_bits)
     else:
         f = miller_loop(ctx, a, b, n_bits)
-    z = final_exponentiation(ctx, f, l_bits)
+        z = final_exponentiation(ctx, f, l_bits)
     trivial = (a.inf | b.inf).astype(jnp.uint32)
     batch_shape = z.shape[2:]
     return fp2.select(trivial, fp2.one(ctx, batch_shape), z)

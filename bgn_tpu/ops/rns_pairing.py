@@ -15,6 +15,8 @@ at trace time against h; the worst case is HH = H*H at 30*30 = 900.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -27,16 +29,29 @@ from .curve import AffinePoint
 # Loop-invariant bounds (multiples of p), audited in the module docstring.
 _BX, _BY, _BZ, _BF = 27, 27, 6, 9
 
+# Pallas step kernels (ops/pallas_rns.py): whole step in VMEM.  "0"
+# disables (pure-XLA steps); "interpret" runs the kernels interpreted
+# (CPU parity tests).
+_PALLAS_MODE = os.environ.get("BGN_TPU_RNS_PALLAS", "1")
+
+
+def _pt(v):
+    """Wrap a point-coordinate residue array with its bound (affine inputs
+    arrive through to_rns_mont: bound 3)."""
+    return RVal(v, 3)
+
 
 def _dbl_step(rns: RNSCtx, X, Y, Z, fr, fi, xb, yb):
     """Fused Jacobian doubling + tangent line + f <- f^2 * line.
 
-    Raw-array in/out (scan-carry friendly); bounds are the invariants."""
+    Raw-array in/out (scan-carry friendly); bounds are the invariants.
+    Muls are grouped by dependency layer through r_mul_many so each layer
+    is ONE stacked MXU dot (5 layers for the whole step)."""
     X, Y, Z = RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
     FR, FI = RVal(fr, _BF), RVal(fi, _BF)
 
-    def mul(u, v):
-        return rn.r_mul(rns, u, v)
+    def muls(*pairs):
+        return rn.r_mul_many(rns, pairs)
 
     def add(u, v):
         return rn.r_add(rns, u, v)
@@ -44,35 +59,29 @@ def _dbl_step(rns: RNSCtx, X, Y, Z, fr, fi, xb, yb):
     def sub(u, v):
         return rn.r_sub(rns, u, v)
 
-    XX = mul(X, X)
-    ZZ = mul(Z, Z)
-    ZZZ = mul(Z, ZZ)
-    ZZZZ = mul(ZZ, ZZ)
-    YY = mul(Y, Y)
-    YYYY = mul(YY, YY)
+    XX, ZZ, YY, YZ, t2, ab, sq_re = muls(
+        (X, X), (Z, Z), (Y, Y), (Y, Z), (X, Z), (FR, FI),
+        (add(FR, FI), sub(FR, FI)))
+    Z3 = add(YZ, YZ)
+    sq_im = add(ab, ab)
+
+    ZZZ, ZZZZ, YYYY, T = muls((Z, ZZ), (ZZ, ZZ), (YY, YY), (X, YY))
     M = add(add(XX, add(XX, XX)), ZZZZ)
-    T = mul(X, YY)
     S = add(T, T)
-    S = add(S, S)
-    MM = mul(M, M)
+    S = add(S, S)                                  # 4 X Y^2
+
+    MM, t1, Z3ZZZ, Z3Y = muls((M, M), (ZZZ, xb), (Z3, ZZZ), (Z3, Y))
     X3 = sub(sub(MM, S), S)
     Y8 = add(YYYY, YYYY)
     Y8 = add(Y8, Y8)
     Y8 = add(Y8, Y8)
-    Y3 = sub(mul(M, sub(S, X3)), Y8)
-    YZ = mul(Y, Z)
-    Z3 = add(YZ, YZ)
-    t1 = mul(ZZZ, xb)
-    t2 = mul(X, Z)
-    l_re = sub(mul(M, add(t1, t2)), mul(Z3, Y))
-    l_im = mul(mul(Z3, ZZZ), yb)
 
-    sq_re = mul(add(FR, FI), sub(FR, FI))
-    ab = mul(FR, FI)
-    sq_im = add(ab, ab)
-    m0 = mul(sq_re, l_re)
-    m1 = mul(sq_im, l_im)
-    m2 = mul(add(sq_re, sq_im), add(l_re, l_im))
+    MSX3, Mt, l_im = muls((M, sub(S, X3)), (M, add(t1, t2)), (Z3ZZZ, yb))
+    Y3 = sub(MSX3, Y8)
+    l_re = sub(Mt, Z3Y)
+
+    m0, m1, m2 = muls((sq_re, l_re), (sq_im, l_im),
+                      (add(sq_re, sq_im), add(l_re, l_im)))
     f_re = sub(m0, m1)
     f_im = sub(sub(m2, m0), m1)
 
@@ -86,8 +95,8 @@ def _add_step(rns: RNSCtx, X1, Y1, Z1, fr, fi, ax, ay, xb, yb):
     X1, Y1, Z1 = RVal(X1, _BX), RVal(Y1, _BY), RVal(Z1, _BZ)
     FR, FI = RVal(fr, _BF), RVal(fi, _BF)
 
-    def mul(u, v):
-        return rn.r_mul(rns, u, v)
+    def muls(*pairs):
+        return rn.r_mul_many(rns, pairs)
 
     def add(u, v):
         return rn.r_add(rns, u, v)
@@ -95,25 +104,20 @@ def _add_step(rns: RNSCtx, X1, Y1, Z1, fr, fi, ax, ay, xb, yb):
     def sub(u, v):
         return rn.r_sub(rns, u, v)
 
-    ZZ = mul(Z1, Z1)
-    U2 = mul(ax, ZZ)
-    ZZZ = mul(Z1, ZZ)
-    S2 = mul(ay, ZZZ)
+    (ZZ,) = muls((Z1, Z1))
+    U2, ZZZ = muls((ax, ZZ), (Z1, ZZ))
+    (S2,) = muls((ay, ZZZ))
     H = sub(U2, X1)
     R = sub(S2, Y1)
-    HH = mul(H, H)
-    HHH = mul(H, HH)
-    V = mul(X1, HH)
-    RR = mul(R, R)
+    HH, RR, Z3, Rx = muls((H, H), (R, R), (Z1, H), (R, add(xb, ax)))
+    HHH, V, Z3ya, l_im = muls((H, HH), (X1, HH), (Z3, ay), (Z3, yb))
     X3 = sub(sub(sub(RR, HHH), V), V)
-    Y3 = sub(mul(R, sub(V, X3)), mul(Y1, HHH))
-    Z3 = mul(Z1, H)
-    l_re = sub(mul(R, add(xb, ax)), mul(Z3, ay))
-    l_im = mul(Z3, yb)
+    l_re = sub(Rx, Z3ya)
+    RVX3, Y1HHH = muls((R, sub(V, X3)), (Y1, HHH))
+    Y3 = sub(RVX3, Y1HHH)
 
-    m0 = mul(FR, l_re)
-    m1 = mul(FI, l_im)
-    m2 = mul(add(FR, FI), add(l_re, l_im))
+    m0, m1, m2 = muls((FR, l_re), (FI, l_im),
+                      (add(FR, FI), add(l_re, l_im)))
     f_re = sub(m0, m1)
     f_im = sub(sub(m2, m0), m1)
 
@@ -122,10 +126,97 @@ def _add_step(rns: RNSCtx, X1, Y1, Z1, fr, fi, ax, ay, xb, yb):
     return X3.v, Y3.v, Z3.v, f_re.v, f_im.v
 
 
-def miller_loop_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
-                    b: AffinePoint, n_bits):
-    """f_{n,A}(phi(B)); inputs limb-Montgomery, output [2, L, *batch]
-    limb-Montgomery (same contract as ops/pairing.py:miller_loop)."""
+# ---------------------------------------------------------------------------
+# F_p^2 in RNS (for the final exponentiation; mirrors ops/fp2.py)
+# ---------------------------------------------------------------------------
+# An F_p^2 element is a pair (re, im) of RVals.  Stable bound invariant for
+# scan carries: (re, im) < (9p, 9p), the same (6, 9) production pattern as
+# the Miller-loop f update.
+
+
+def _fp2_mul(rns, x, y):
+    """Karatsuba: 3 r_muls, one stacked dot."""
+    a, b = x
+    c, d = y
+    t0, t1, t2 = rn.r_mul_many(
+        rns, [(a, c), (b, d),
+              (rn.r_add(rns, a, b), rn.r_add(rns, c, d))])
+    return (rn.r_sub(rns, t0, t1),
+            rn.r_sub(rns, rn.r_sub(rns, t2, t0), t1))
+
+
+def _fp2_sqr(rns, x):
+    a, b = x
+    re, ab = rn.r_mul_many(
+        rns, [(rn.r_add(rns, a, b), rn.r_sub(rns, a, b)), (a, b)])
+    return re, rn.r_add(rns, ab, ab)
+
+
+def _fp2_conj(rns, x):
+    a, b = x
+    return a, rn.r_sub(rns, rn.r_zero(rns, b.v.shape[:-1]), b)
+
+
+def _rns_pow(rns, x: RVal, bits):
+    """x^e, e as shared MSB-first bits; square-and-multiply scan.
+
+    x.bound must be <= 16 (sqr needs (2*acc)^2 and mul acc*x within h)."""
+    assert x.bound <= 16, x.bound
+    one = rn.r_one(rns, x.v.shape[:-1])
+    acc0 = jnp.broadcast_to(one.v, x.v.shape)
+
+    def step(acc, bit):
+        acc_sq = rn.r_mul(rns, RVal(acc, 3), RVal(acc, 3))
+        acc_mul = rn.r_mul(rns, acc_sq, x)
+        return jnp.where(bit.astype(bool), acc_mul.v, acc_sq.v), None
+
+    acc, _ = jax.lax.scan(step, acc0, bits)
+    return RVal(acc, 3)
+
+
+def _fp2_inv(rns, x, pm2_bits):
+    """1/(a+bi) = (a-bi)/(a^2+b^2); Fermat inversion = a pure mul chain,
+    so it stays in RNS (the limb-domain path costs ~2*16L CIOS muls)."""
+    a, b = x
+    aa, bb = rn.r_mul_many(rns, [(a, a), (b, b)])
+    norm = rn.r_add(rns, aa, bb)
+    ninv = _rns_pow(rns, norm, pm2_bits)
+    nb = rn.r_sub(rns, rn.r_zero(rns, b.v.shape[:-1]), b)
+    return rn.r_mul(rns, a, ninv), rn.r_mul(rns, nb, ninv)
+
+
+def _fp2_pow_bits(rns, x, bits):
+    """x^e for an F_p^2 element; e as shared MSB-first bits."""
+    xr, xi = x
+    assert xr.bound <= 9 and xi.bound <= 10, (xr.bound, xi.bound)
+    one = rn.r_one(rns, xr.v.shape[:-1])
+    acc0 = (jnp.broadcast_to(one.v, xr.v.shape), jnp.zeros_like(xr.v))
+
+    def step(acc, bit):
+        a = (RVal(acc[0], 9), RVal(acc[1], 9))
+        sq = _fp2_sqr(rns, a)
+        mu = _fp2_mul(rns, sq, (xr, xi))
+        assert sq[0].bound <= 9 and sq[1].bound <= 9
+        assert mu[0].bound <= 9 and mu[1].bound <= 9
+        sel = bit.astype(bool)
+        return (jnp.where(sel, mu[0].v, sq[0].v),
+                jnp.where(sel, mu[1].v, sq[1].v)), None
+
+    acc, _ = jax.lax.scan(step, acc0, bits)
+    return RVal(acc[0], 9), RVal(acc[1], 9)
+
+
+def final_exponentiation_rns(ctx: MontCtx, rns: RNSCtx, f, l_bits):
+    """f^((p^2-1)/n) = (conj(f)/f)^l entirely in RNS (same contract as
+    ops/pairing.py:final_exponentiation); f = (re RVal, im RVal)."""
+    inv = _fp2_inv(rns, f, ctx.pm2_bits)
+    w = _fp2_mul(rns, _fp2_conj(rns, f), inv)
+    return _fp2_pow_bits(rns, w, l_bits)
+
+
+def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
+                  b: AffinePoint, n_bits):
+    """Miller function value as RNS RVals (f_re, f_im), flat batch."""
     batch_shape = jnp.broadcast_shapes(a.x.shape[1:], b.x.shape[1:])
     L = ctx.L
     flat = 1
@@ -145,6 +236,24 @@ def miller_loop_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
     f0 = Z0
     fi0 = jnp.zeros_like(f0)
 
+    interp = _PALLAS_MODE == "interpret"
+    if _PALLAS_MODE != "0" and (interp or jax.default_backend() == "tpu"):
+        from . import pallas_rns
+
+        def dbl(*s):
+            return tuple(pallas_rns.dbl_step_pallas(
+                rns, *s, xb, yb, interpret=interp))
+
+        def madd(*s):
+            return tuple(pallas_rns.add_step_pallas(
+                rns, *s, ax, ay, xb, yb, interpret=interp))
+    else:
+        def dbl(*s):
+            return _dbl_step(rns, *s, xb, yb)
+
+        def madd(*s):
+            return _add_step(rns, *s, ax, ay, xb, yb)
+
     def step(carry, bit):
         X, Y, Z, fr, fi, started = carry
         bit_b = bit.astype(bool)
@@ -156,11 +265,9 @@ def miller_loop_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
 
         def normal(c):
             X, Y, Z, fr, fi, st = c
-            s1 = _dbl_step(rns, X, Y, Z, fr, fi, xb, yb)
+            s1 = dbl(X, Y, Z, fr, fi)
             s2 = jax.lax.cond(
-                bit_b,
-                lambda s: _add_step(rns, *s, ax, ay, xb, yb),
-                lambda s: s, s1)
+                bit_b, lambda s: madd(*s), lambda s: s, s1)
             return s2 + (st,)
 
         return jax.lax.cond(started.astype(bool), normal, not_started,
@@ -171,14 +278,31 @@ def miller_loop_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
 
     def tail_started(c):
         X, Y, Z, fr, fi = c
-        _, _, _, fr2, fi2 = _dbl_step(rns, X, Y, Z, fr, fi, xb, yb)
+        _, _, _, fr2, fi2 = dbl(X, Y, Z, fr, fi)
         return fr2, fi2
 
     fr, fi = jax.lax.cond(started.astype(bool), tail_started,
                           lambda c: (c[3], c[4]), (X, Y, Z, fr, fi))
+    return (RVal(fr, _BF), RVal(fi, _BF)), batch_shape
 
-    out_re = rn.from_rns_mont(rns, RVal(fr, _BF)).reshape(
-        (L,) + batch_shape)
-    out_im = rn.from_rns_mont(rns, RVal(fi, _BF)).reshape(
-        (L,) + batch_shape)
+
+def miller_loop_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
+                    b: AffinePoint, n_bits):
+    """f_{n,A}(phi(B)); inputs limb-Montgomery, output [2, L, *batch]
+    limb-Montgomery (same contract as ops/pairing.py:miller_loop)."""
+    (fr, fi), batch_shape = _miller_f_rns(ctx, rns, a, b, n_bits)
+    out_re = rn.from_rns_mont(rns, fr).reshape((ctx.L,) + batch_shape)
+    out_im = rn.from_rns_mont(rns, fi).reshape((ctx.L,) + batch_shape)
+    return jnp.stack([out_re, out_im], axis=0)
+
+
+def pairing_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint, b: AffinePoint,
+                n_bits, l_bits):
+    """Full pairing (Miller + final exponentiation) in the RNS domain with
+    one limb conversion at exit; bit-identical to miller_loop +
+    final_exponentiation on the XLA path."""
+    f, batch_shape = _miller_f_rns(ctx, rns, a, b, n_bits)
+    zr, zi = final_exponentiation_rns(ctx, rns, f, l_bits)
+    out_re = rn.from_rns_mont(rns, zr).reshape((ctx.L,) + batch_shape)
+    out_im = rn.from_rns_mont(rns, zi).reshape((ctx.L,) + batch_shape)
     return jnp.stack([out_re, out_im], axis=0)

@@ -25,6 +25,7 @@ arrays enter jit, so one compiled kernel serves every same-width key.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import secrets
 from typing import Any, Sequence, Tuple
 
@@ -99,6 +100,7 @@ class BGNPublicKey:
         self.Q_host = Q_host
         self.dev = dev
         self._encoding_tables = None  # filled by encoding.compute_tables
+        self._sampler_ctx = None      # lazy device-RNG MontCtx (mod n)
 
     # -- encryption ---------------------------------------------------------
 
@@ -122,6 +124,25 @@ class BGNPublicKey:
         r_digits, r_neg = _signed_digits(rs + [0] * (Bp - B), self.n)
         if np.any(r_neg):
             raise ValueError("randomness must be non-negative")
+        pt = _encrypt_kernel(self.dev, m_digits, jnp.asarray(m_neg), r_digits)
+        return Ciphertext(pt, level2=False)[:B]
+
+    def encrypt_device(self, ms, key) -> "Ciphertext":
+        """Randomized encryption with fully on-device randomness.
+
+        `key` is a jax.random key; the Q^r exponent comes from threefry
+        bits reduced mod n with < 2^-64 bias (utils/rng.py), so jitted
+        pipelines never leave the device for entropy.  The host-CSPRNG
+        `encrypt` remains the default (mirrors crypto/rand, bgn.go:567)."""
+        ms = _to_list(ms)
+        B = len(ms)
+        Bp = _bucket(B)
+        m_digits, m_neg = _signed_digits(ms + [0] * (Bp - B), self.n)
+        if self._sampler_ctx is None:
+            from .utils import rng as rng_mod
+            self._sampler_ctx = rng_mod.make_device_sampler_ctx(self.n)
+        J = -(-self.n.bit_length() // _WINDOW_BITS)
+        r_digits = _device_r_digits(self._sampler_ctx, key, Bp, J)
         pt = _encrypt_kernel(self.dev, m_digits, jnp.asarray(m_neg), r_digits)
         return Ciphertext(pt, level2=False)[:B]
 
@@ -480,6 +501,18 @@ def _const_list(ks, batch_shape):
 # ---------------------------------------------------------------------------
 # Jitted kernels (module-level so the jit cache is shared across keys)
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _device_r_digits(sampler_ctx, key, batch: int, J: int):
+    """Device-sampled exponents as radix-16 window digits [J, batch]."""
+    from .utils import rng as rng_mod
+    r = rng_mod.device_random_below(sampler_ctx, key, (batch,))  # [L', B]
+    nl = -(-J // 4)
+    limbs = r[:nl]
+    parts = [(limbs >> (4 * i)) & jnp.uint32(0xF) for i in range(4)]
+    digits = jnp.stack(parts, axis=1).reshape(4 * nl, batch)
+    return digits[:J]
 
 
 @jax.jit

@@ -130,6 +130,12 @@ def test_rns_miller_matches_xla(monkeypatch):
     f_rns = rns_pairing.miller_loop_rns(dev.ctx, dev.rns, a, b, dev.n_bits)
     np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_rns))
 
+    # full pairing (Miller + RNS final exponentiation) bit-identical too
+    z_ref = pairing_mod.final_exponentiation(dev.ctx, f_ref, dev.l_bits)
+    z_rns = rns_pairing.pairing_rns(dev.ctx, dev.rns, a, b,
+                                    dev.n_bits, dev.l_bits)
+    np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_rns))
+
 
 def test_rns_scheme_end_to_end(monkeypatch):
     """Force the RNS pairing inside the scheme: EMult + decrypt round trip."""

@@ -182,3 +182,21 @@ def test_randomized_mode():
     assert list(sk.decrypt(m1, pk, tables)) == [10, 36]
     mc = pk.mult_const(a, 3, rng=rng)
     assert list(sk.decrypt(mc, pk, tables)) == [15, 27]
+
+
+def test_encrypt_device_randomness(keypair):
+    """On-device threefry randomness path: correct decrypts, key-derived
+    determinism, key separation."""
+    import jax as _jax
+
+    pk, sk, tables = keypair
+    ms = [0, 5, 1000, -3]
+    ct = pk.encrypt_device(ms, _jax.random.PRNGKey(42))
+    vals, ok = sk.decrypt_with_status(ct, pk, tables)
+    assert list(vals) == ms and all(ok)
+
+    ct2 = pk.encrypt_device(ms, _jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(ct.data.x),
+                                  np.asarray(ct2.data.x))
+    ct3 = pk.encrypt_device(ms, _jax.random.PRNGKey(7))
+    assert not np.array_equal(np.asarray(ct.data.x), np.asarray(ct3.data.x))
