@@ -7,11 +7,11 @@ vector unit.  This module re-represents F_p elements as residues modulo
 
   1. channelwise products            (O(k) VPU, all values < 2^24 so
                                       plain fp32 FMAs are exact)
-  2. two *base extensions*, each a   [batch, 2k] x [2k, 3k+1] bf16 matmul
+  2. two *base extensions*, each a   [3k+1, 2k] x [2k, batch] bf16 matmul
      (Bajard/Kawamura RNS Montgomery  against a host-precomputed constant
      reduction)                       matrix -- exactly the MXU's shape.
 
-That moves the O(k^2) inner work from the VPU (≈1 TFLOP/s achieved) to the
+That moves the O(k^2) inner work from the VPU (~1 TFLOP/s achieved) to the
 MXU (~2 orders of magnitude ahead on MACs), the round-1 PERF.md design
 target.  Functional replacement for the GMP mulmod layer underneath PBC
 (reference README.md:10-25); consumed by ops/rns_pairing.py for the Miller
@@ -19,32 +19,37 @@ loop of Element.Pair (reference bgn.go:300).
 
 Representation
 --------------
-A value x (0 <= x < ~30p) is a float32 array [..., 2k] of residues
-x mod m_c, channels last.  Moduli are 12-bit primes: base A = m[:k],
-base B = m[k:].  Montgomery domain uses R_rns = A = prod(m[:k]); the
-context guarantees the *headroom* h = A//p >= 1024, so all the static
-value bounds below hold.  `RVal` pairs the residue array with its static
+A value x (0 <= x < ~30p) is a float32 array [2k, *batch] of residues
+x mod m_c, CHANNEL-MAJOR (channels on the sublane axis, batch on lanes --
+the same convention as the limb layout, and the layout that packs the
+8x128 VPU fully; channels-last wastes (128 - 2k mod 128) lanes on every
+elementwise op).  Moduli are 12-bit primes: base A = m[:k], base B =
+m[k:].  Montgomery domain uses R_rns = A = prod(m[:k]); the context
+guarantees the *headroom* h = A//p >= 1024, so all the static value
+bounds below hold.  `RVal` pairs the residue array with its static
 bound (a Python int multiple of p); `r_mul` asserts bound_x*bound_y <= h
 at trace time -- the bound bookkeeping is free at runtime.
 
 Algorithm (one r_mul, following Bajard et al. / Kawamura's Cox-Rower
 approximate base extension):
-  d   = x*y mod m          (both bases, channelwise)
-  q   = d * (-p^-1) mod a  (base A)
-  q~  = q * (A/a_i)^-1 mod a_i
-  qB  = ext_{A->B}(q~): S_j = sum_i q~_i * (A/a_i mod b_j) - alpha*A mod b_j
-        with alpha = floor(sum_i q~_i/a_i) estimated from an extra matmul
-        column; an alpha underestimate only adds +p to the result
-        (tolerated by the bound algebra -- see _combine_ext).
-  r   = (d + qB*p) * A^-1 mod b   (base B; exact, r < 3p)
-  rA  = ext_{B->A}(r~)            (alpha exact here since r/B < 2^-8)
+  d    = x*y mod m           (both bases, channelwise)
+  q~   = (d_A * (-p)^-1 * (A/a_i)^-1) mod a_i    (one fused constant)
+  ext1 = sum_i q~_i * ((A/a_i) * p * A^-1 mod b_j)  -  alpha * (p mod b_j)
+         == q_ext * p * A^-1  (mod b_j); the per-channel constant
+         p*A^-1 is folded into the extension matrix, and alpha =
+         floor(sum_i q~_i / a_i) is estimated from an extra matmul row
+         (an alpha underestimate only adds +p to the result -- tolerated
+         by the bound algebra, see _combine_ext).
+  r    = (d_B * A^-1 + ext1) mod b_j             (base B; r < 3p)
+  ext2 = standard extension of r~ = r * (B/b_j)^-1 back to base A
+         (alpha exact here since r/B < 2^-8).
 The 6-bit digit splitting keeps every matmul partial sum < 2^24 so bf16
 inputs with fp32 MXU accumulation are bit-exact.
 
 Exactness audit: every fp32 value in this module is a nonnegative integer
 < 2^24 (or an exact product <= 4095*4095 < 2^24), every bf16 matmul input
 has <= 8 significant bits, and every fp32 matmul accumulator stays < 2^24
-except the alpha column (which only needs ~2^5 absolute accuracy against a
+except the alpha row (which only needs ~2^5 absolute accuracy against a
 2^19 scale).  Division only appears as multiply-by-reciprocal with a
 two-sided fixup (_red).
 """
@@ -84,45 +89,42 @@ def _primes_desc(lo: int = 2053, hi: int = 4096) -> list:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RNSCtx:
-    """Device constants for one modulus p.  Meta fields are static ints."""
+    """Device constants for one modulus p.  Meta fields are static ints.
+    Per-channel vectors are stored as [*, 1] columns so they broadcast
+    against channel-major [*, batch] arrays."""
 
-    # channel moduli and reciprocals, both bases concatenated: [2k]
+    # channel moduli and reciprocals, both bases concatenated: [2k, 1]
     m: jax.Array               # f32 moduli
     recip: jax.Array           # f32 1/m (f64-accurate, rounded to f32)
-    kp: jax.Array              # f32 [KMAX+1, 2k]: (K*p) mod m_c  (for r_sub)
+    kp: jax.Array              # f32 [2k, KMAX+1]: (K*p) mod m_c (r_sub);
+                               #   K on the lane axis so a static column
+                               #   slice needs no relayout in-kernel
     # ext A->B (inside r_mul)
-    negpinv_a: jax.Array       # f32 [k]: (-p)^-1 mod a_i
-    crt_inv_a: jax.Array       # f32 [k]: (A/a_i)^-1 mod a_i
-    w1: jax.Array              # bf16 [2k, 3k+1]: split ext matrix + alpha col
-    a_mod_b: jax.Array         # f32 [k]: A mod b_j
-    p_mod_b: jax.Array         # f32 [k]: p mod b_j
-    ainv_b: jax.Array          # f32 [k]: A^-1 mod b_j
+    qc_a: jax.Array            # f32 [k, 1]: (-p)^-1 * (A/a_i)^-1 mod a_i
+    w1: jax.Array              # bf16 [3k+1, 2k]: split ext matrix
+                               #   (entries (A/a_i)*p*A^-1 mod b_j) + alpha
+    p_mod_b: jax.Array         # f32 [k, 1]: p mod b_j (ext1 alpha corr.)
+    ainv_b: jax.Array          # f32 [k, 1]: A^-1 mod b_j
     # ext B->A
-    crt_inv_b: jax.Array       # f32 [k]: (B/b_j)^-1 mod b_j
-    w2: jax.Array              # bf16 [2k, 3k+1]
-    b_mod_a: jax.Array         # f32 [k]: B mod a_i
-    # domain constants (residues over both bases): [2k]
+    crt_inv_b: jax.Array       # f32 [k, 1]: (B/b_j)^-1 mod b_j
+    w2: jax.Array              # bf16 [3k+1, 2k]
+    b_mod_a: jax.Array         # f32 [k, 1]: B mod a_i
+    # exit CRT (base A)
+    crt_inv_a: jax.Array       # f32 [k, 1]: (A/a_i)^-1 mod a_i
+    w_alpha_a: jax.Array       # f32 [k, 1]: round(2^19/a_i)
+    # domain constants (residues over both bases): [2k, 1]
     one_rns: jax.Array         # f32: residues of A mod p  (Montgomery 1)
     c_in: jax.Array            # f32: residues of A^2 * R^-1 mod p (entry)
     c_out: jax.Array           # f32: residues of R mod p          (exit)
     # conversions
-    pow2_8: jax.Array          # i32 [D8in, 2k]: 2^(8*d) mod m_c
-    crt_rows: jax.Array        # i32 [k, D8]: 8-bit digit rows of A/a_i
-    a_rows: jax.Array          # i32 [D8]: 8-bit digit rows of A
-    w_alpha_a: jax.Array       # f32 [k]: round(2^19/a_i) (exit CRT alpha)
+    pow2_8: jax.Array          # i32 [2k, D8in]: 2^(8*d) mod m_c
+    crt_rows: jax.Array        # i32 [D8, k]: 8-bit digit rows of A/a_i
+    a_rows: jax.Array          # i32 [D8, 1]: 8-bit digit rows of A
     p_limbs: jax.Array         # u32 [L+1]: p as 16-bit limbs (exit reduce)
     # static
     k: int = dataclasses.field(metadata=dict(static=True))
     h: int = dataclasses.field(metadata=dict(static=True))
     L: int = dataclasses.field(metadata=dict(static=True))
-
-    @property
-    def mA(self):
-        return self.m[:self.k]
-
-    @property
-    def mB(self):
-        return self.m[self.k:]
 
 
 _KMAX = 32  # largest ceil(bound) ever passed to r_sub (max in pairing: 27)
@@ -163,88 +165,94 @@ def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
     f32 = np.float32
     m_np = np.array(m_all, dtype=np.int64)
 
-    def residues(x: int) -> np.ndarray:
-        return np.array([x % m for m in m_all], dtype=f32)
+    def col(vals) -> np.ndarray:
+        return np.asarray(vals, dtype=f32).reshape(-1, 1)
 
-    # --- ext A->B constants
-    negpinv_a = np.array([(-pow(p, -1, a)) % a for a in A_list], dtype=f32)
+    def residues(x: int) -> np.ndarray:
+        return col([x % m for m in m_all])
+
+    # --- ext A->B constants (p*A^-1 folded into the matrix)
+    Ainv_mod_b = [pow(A % b, -1, b) for b in B_list]
     AoverAi = [A // a for a in A_list]
-    crt_inv_a = np.array(
-        [pow(AoverAi[i] % A_list[i], -1, A_list[i]) for i in range(k)],
-        dtype=f32)
-    mat1 = np.array([[AoverAi[i] % b for b in B_list] for i in range(k)],
-                    dtype=np.int64)
+    qc_a = [((-pow(p, -1, a)) % a) *
+            pow(AoverAi[i] % a, -1, a) % a
+            for i, a in enumerate(A_list)]
+    mat1 = np.array(
+        [[AoverAi[i] % b * p % b * Ainv_mod_b[j] % b
+          for i in range(k)] for j, b in enumerate(B_list)],
+        dtype=np.int64)                       # [k(dst j), k(src i)]
     w1a = np.array([round((1 << _ALPHA_SCALE) / a) for a in A_list],
                    dtype=np.int64)
-    a_mod_b = np.array([A % b for b in B_list], dtype=f32)
-    p_mod_b = np.array([p % b for b in B_list], dtype=f32)
-    ainv_b = np.array([pow(A % b, -1, b) for b in B_list], dtype=f32)
 
     # --- ext B->A constants
     BoverBj = [B // b for b in B_list]
-    crt_inv_b = np.array(
-        [pow(BoverBj[j] % B_list[j], -1, B_list[j]) for j in range(k)],
-        dtype=f32)
-    mat2 = np.array([[BoverBj[j] % a for a in A_list] for j in range(k)],
-                    dtype=np.int64)
+    crt_inv_b = [pow(BoverBj[j] % B_list[j], -1, B_list[j])
+                 for j in range(k)]
+    mat2 = np.array([[BoverBj[j] % a for j in range(k)]
+                     for a in A_list], dtype=np.int64)
     w2a = np.array([round((1 << _ALPHA_SCALE) / b) for b in B_list],
                    dtype=np.int64)
-    b_mod_a = np.array([B % a for a in A_list], dtype=f32)
 
     def split_w(mat: np.ndarray, w: np.ndarray) -> np.ndarray:
-        """[k,k] int matrix + [k] alpha weights -> bf16 [2k, 3k+1].
+        """[k_dst, k_src] int matrix + [k_src] alpha weights ->
+        bf16 [3k+1, 2k].
 
-        Input rows are [hi(6b), lo(6b)] digit halves of the source residues;
-        output columns are the three weighted blocks (S = 4096*O1 + 64*O2
-        + O3) plus the alpha-estimate column."""
+        Matmul is W @ x_split with x_split = [hi(6b); lo(6b)] stacked on
+        the source-channel axis; output rows are the three weighted
+        blocks (S = 4096*O1 + 64*O2 + O3) plus the alpha-estimate row."""
         hi, lo = mat >> 6, mat & 63
-        W = np.zeros((2 * k, 3 * k + 1), dtype=np.float32)
-        W[:k, 0:k] = hi
-        W[:k, k:2 * k] = lo
-        W[k:, k:2 * k] = hi
-        W[k:, 2 * k:3 * k] = lo
-        W[:k, 3 * k] = w * 64
-        W[k:, 3 * k] = w
+        W = np.zeros((3 * k + 1, 2 * k), dtype=np.float32)
+        W[0:k, :k] = hi
+        W[k:2 * k, :k] = lo
+        W[k:2 * k, k:] = hi
+        W[2 * k:3 * k, k:] = lo
+        W[3 * k, :k] = w * 64
+        W[3 * k, k:] = w
         Wb = W.astype(jnp.bfloat16)
         assert np.array_equal(np.asarray(Wb, dtype=np.float32), W)
         return Wb
 
     # --- conversions
     d8_in = 2 * L  # 8-bit digit rows of a 16L-bit input
-    pow2_8 = np.array([[pow(256, d, m) for m in m_all] for d in range(d8_in)],
-                      dtype=np.int32)
+    pow2_8 = np.array([[pow(256, d, m) for d in range(d8_in)]
+                       for m in m_all], dtype=np.int32)
     D8 = -(-(12 * k) // 8) + 1
+
     def rows8(x: int, n: int) -> np.ndarray:
         return np.array([(x >> (8 * d)) & 0xFF for d in range(n)],
                         dtype=np.int32)
-    crt_rows = np.stack([rows8(AoverAi[i], D8) for i in range(k)])
-    a_rows = rows8(A, D8)
+
+    crt_rows = np.stack([rows8(AoverAi[i], D8) for i in range(k)], axis=1)
+    a_rows = rows8(A, D8).reshape(-1, 1)
 
     kmax_p = np.array(
-        [[(K * p) % m for m in m_all] for K in range(_KMAX + 1)], dtype=f32)
+        [[(K * p) % m for K in range(_KMAX + 1)] for m in m_all],
+        dtype=f32)
 
-    recip = (1.0 / m_np.astype(np.float64)).astype(f32)
+    # downward-biased reciprocal: see _red
+    recip = ((1.0 - 2.0 ** -21) / m_np.astype(np.float64)) \
+        .astype(f32).reshape(-1, 1)
 
     return RNSCtx(
-        m=jnp.asarray(m_np.astype(f32)),
+        m=jnp.asarray(col(m_np)),
         recip=jnp.asarray(recip),
         kp=jnp.asarray(kmax_p),
-        negpinv_a=jnp.asarray(negpinv_a),
-        crt_inv_a=jnp.asarray(crt_inv_a),
+        qc_a=jnp.asarray(col(qc_a)),
         w1=jnp.asarray(split_w(mat1, w1a)),
-        a_mod_b=jnp.asarray(a_mod_b),
-        p_mod_b=jnp.asarray(p_mod_b),
-        ainv_b=jnp.asarray(ainv_b),
-        crt_inv_b=jnp.asarray(crt_inv_b),
+        p_mod_b=jnp.asarray(col([p % b for b in B_list])),
+        ainv_b=jnp.asarray(col(Ainv_mod_b)),
+        crt_inv_b=jnp.asarray(col(crt_inv_b)),
         w2=jnp.asarray(split_w(mat2, w2a)),
-        b_mod_a=jnp.asarray(b_mod_a),
+        b_mod_a=jnp.asarray(col([B % a for a in A_list])),
+        crt_inv_a=jnp.asarray(col(
+            [pow(AoverAi[i] % A_list[i], -1, A_list[i]) for i in range(k)])),
+        w_alpha_a=jnp.asarray(col(w1a)),
         one_rns=jnp.asarray(residues(A % p)),
         c_in=jnp.asarray(residues((A * A * pow(R, -1, p)) % p)),
         c_out=jnp.asarray(residues(R % p)),
         pow2_8=jnp.asarray(pow2_8),
         crt_rows=jnp.asarray(crt_rows),
         a_rows=jnp.asarray(a_rows),
-        w_alpha_a=jnp.asarray(w1a.astype(f32)),
         p_limbs=jnp.asarray(lb.int_to_limbs(p, L + 1)),
         k=k, h=h, L=L,
     )
@@ -258,44 +266,52 @@ def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
 def _red(v, m, recip):
     """v mod m for integer-valued fp32 v with v <= 2^24 - 2^12.
 
-    q = floor(v/m) from the reciprocal may be off by one either way; the
-    two-sided fixup restores exactness (q*m <= v + m <= 2^24 stays exact)."""
+    recip is the DOWNWARD-BIASED reciprocal (1/m)*(1 - 2^-21): the
+    product error v*recip - v/m is then strictly negative with magnitude
+    < 2^-7, so q in {floor(v/m)-1, floor(v/m)} and a single conditional
+    subtraction restores exactness (one-sided; saves 2 VPU ops per call
+    over a two-sided fixup -- _red is ~500 of the ~3k ops per r_mul)."""
     q = jnp.floor(v * recip)
     r = v - q * m
-    r = jnp.where(r < 0, r + m, r)
     return jnp.where(r >= m, r - m, r)
 
 
 class RVal(NamedTuple):
     """Residues + static value bound (value < bound * p).  NOT a pytree --
     unwrap to .v before crossing scan/cond boundaries."""
-    v: jax.Array      # f32 [..., 2k]
+    v: jax.Array      # f32 [2k, *batch]
     bound: int
 
 
 def _split6(x):
-    """6-bit digit split for the bf16 matmul: [..., k] -> [..., 2k]."""
+    """6-bit digit split for the bf16 matmul: [k, *b] -> [2k, *b]."""
     hi = jnp.floor(x * (1.0 / 64.0))
     lo = x - hi * 64.0
-    return jnp.concatenate([hi, lo], axis=-1).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
+
+
+def _ext_dot(W, x):
+    """[3k+1, 2k] @ [2k, *batch] -> [3k+1, *batch] on the MXU."""
+    return jax.lax.dot_general(
+        W, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _combine_ext(rns: RNSCtx, O, m_dst, recip_dst, base_mod_dst, eps):
     """Matmul output -> destination-base residues of (value + e*base).
 
-    O: [..., 3k+1] fp32 from (split source digits) @ W.
+    O: [3k+1, *batch] fp32 from W @ (split source digits).
     S_j = 4096*O1 + 64*O2 + O3 is congruent to (value + alpha_true*base)
     mod each destination channel; alpha_hat = floor(Sa/2^19 + eps).  With
     eps=_EPS_UNDER the residual e = alpha_true - alpha_hat is in {0, 1}
     (value read as value + e*base); with eps=_EPS_EXACT and value/base
     < 2^-8 the extension is exact (e = 0)."""
     k = rns.k
-    O1, O2, O3, Sa = O[..., :k], O[..., k:2 * k], O[..., 2 * k:3 * k], \
-        O[..., 3 * k]
+    O1, O2, O3, Sa = O[:k], O[k:2 * k], O[2 * k:3 * k], O[3 * k]
     v = _red(O1 * 64.0 + O2, m_dst, recip_dst)
     S = _red(v * 64.0 + O3, m_dst, recip_dst)
     alpha = jnp.floor(Sa * (1.0 / (1 << _ALPHA_SCALE)) + eps)
-    T = S + _KC * m_dst - alpha[..., None] * base_mod_dst
+    T = S + _KC * m_dst - alpha[None] * base_mod_dst
     return _red(T, m_dst, recip_dst), alpha
 
 
@@ -309,45 +325,40 @@ def r_mul(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
     rA_m, rB_m = rns.recip[:k], rns.recip[k:]
 
     d = _red(x.v * y.v, rns.m, rns.recip)          # both bases
-    dA, dB = d[..., :k], d[..., k:]
-    q = _red(dA * rns.negpinv_a, mA, rA_m)
-    qhat = _red(q * rns.crt_inv_a, mA, rA_m)
-    O = jax.lax.dot_general(
-        _split6(qhat), rns.w1, (((qhat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    q_ext, _ = _combine_ext(rns, O, mB, rB_m, rns.a_mod_b, _EPS_UNDER)
+    dA, dB = d[:k], d[k:]
+    qhat = _red(dA * rns.qc_a, mA, rA_m)
+    O = _ext_dot(rns.w1, _split6(qhat))
+    # ext1 yields q_ext * p * A^-1 directly (constants folded into w1)
+    qpa, _ = _combine_ext(rns, O, mB, rB_m, rns.p_mod_b, _EPS_UNDER)
 
-    t = _red(q_ext * rns.p_mod_b, mB, rB_m)
-    u = dB + t
-    u = jnp.where(u >= mB, u - mB, u)
-    r = _red(u * rns.ainv_b, mB, rB_m)             # base-B residues, < 3p
+    u = _red(dB * rns.ainv_b, mB, rB_m) + qpa      # < 2m
+    r = jnp.where(u >= mB, u - mB, u)              # base-B residues, < 3p
 
     rhat = _red(r * rns.crt_inv_b, mB, rB_m)
-    O2 = jax.lax.dot_general(
-        _split6(rhat), rns.w2, (((rhat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    O2 = _ext_dot(rns.w2, _split6(rhat))
     r_a, _ = _combine_ext(rns, O2, mA, rA_m, rns.b_mod_a, _EPS_EXACT)
-    return RVal(jnp.concatenate([r_a, r], axis=-1), 3)
+    return RVal(jnp.concatenate([r_a, r], axis=0), 3)
 
 
 def r_mul_many(rns: RNSCtx, pairs) -> list:
     """Stacked r_mul over independent (x, y) RVal pairs of equal shape.
 
-    One dot_general serves the whole group (the pairs join along the
-    matmul M dimension), amortizing launch overhead and filling the MXU;
-    the Miller steps feed their per-dependency-layer mul groups here.
-    Concatenation along the leading (sublane) axis keeps the stacked
+    One dot serves the whole group (the pairs join along the matmul N
+    dimension), amortizing launch overhead and filling the MXU; the
+    Miller steps feed their per-dependency-layer mul groups here.
+    Concatenation along the trailing (lane) axis keeps the stacked
     arrays 2-D, which is also what the Pallas in-kernel path (Mosaic)
     supports for its dots."""
     for x, y in pairs:
         assert x.bound * y.bound <= rns.h, (x.bound, y.bound, rns.h)
     if len(pairs) == 1:
         return [r_mul(rns, *pairs[0])]
-    n = pairs[0][0].v.shape[0]
-    xs = jnp.concatenate([x.v for x, _ in pairs], axis=0)
-    ys = jnp.concatenate([y.v for _, y in pairs], axis=0)
+    n = pairs[0][0].v.shape[-1]
+    xs = jnp.concatenate([x.v for x, _ in pairs], axis=-1)
+    ys = jnp.concatenate([y.v for _, y in pairs], axis=-1)
     out = r_mul(rns, RVal(xs, 1), RVal(ys, 1)).v
-    return [RVal(out[i * n:(i + 1) * n], 3) for i in range(len(pairs))]
+    return [RVal(out[..., i * n:(i + 1) * n], 3)
+            for i in range(len(pairs))]
 
 
 def r_add(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
@@ -360,19 +371,19 @@ def r_sub(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
     """x - y + K*p with K = y.bound, keeping the value nonnegative."""
     K = y.bound
     assert K <= _KMAX, K
-    t = x.v + rns.kp[K] - y.v                      # in (-m, 2m)
+    t = x.v + rns.kp[:, K:K + 1] - y.v             # in (-m, 2m)
     t = jnp.where(t < 0, t + rns.m, t)
     t = jnp.where(t >= rns.m, t - rns.m, t)
     return RVal(t, x.bound + K)
 
 
 def r_one(rns: RNSCtx, batch_shape=()) -> RVal:
-    return RVal(jnp.broadcast_to(rns.one_rns, batch_shape + rns.one_rns.shape),
-                1)
+    v = rns.one_rns.reshape((-1,) + (1,) * len(batch_shape))
+    return RVal(jnp.broadcast_to(v, v.shape[:1] + tuple(batch_shape)), 1)
 
 
 def r_zero(rns: RNSCtx, batch_shape=()) -> RVal:
-    return RVal(jnp.zeros(batch_shape + (2 * rns.k,), jnp.float32), 1)
+    return RVal(jnp.zeros((2 * rns.k,) + tuple(batch_shape), jnp.float32), 1)
 
 
 # ---------------------------------------------------------------------------
@@ -381,20 +392,20 @@ def r_zero(rns: RNSCtx, batch_shape=()) -> RVal:
 
 
 def limbs_to_rns(rns: RNSCtx, x) -> jax.Array:
-    """Canonical 16-bit limbs [L, *batch] (< p) -> residues [*batch, 2k]."""
+    """Canonical 16-bit limbs [L, *batch] (< p) -> residues [2k, *batch]."""
     L = x.shape[0]
-    batch_shape = x.shape[1:]
     lo = (x & 0xFF).astype(jnp.int32)
     hi = (x >> 8).astype(jnp.int32)
-    d8 = jnp.stack([lo, hi], axis=1).reshape((2 * L,) + batch_shape)
-    d8 = jnp.moveaxis(d8, 0, -1)                   # [*batch, 2L]
+    d8 = jnp.stack([lo, hi], axis=1).reshape((2 * L,) + x.shape[1:])
     S = jax.lax.dot_general(
-        d8, rns.pow2_8, (((d8.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)          # [*batch, 2k] < 2^26
+        rns.pow2_8, d8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [2k, *batch] < 2^26
     # int-domain reduction (S exceeds fp32 exactness)
     f = S.astype(jnp.float32)
-    q = jnp.floor(f * rns.recip).astype(jnp.int32)
-    m_i = rns.m.astype(jnp.int32)
+    bshape = (1,) * (S.ndim - 1)
+    recip = rns.recip.reshape((-1,) + bshape)
+    m_i = rns.m.astype(jnp.int32).reshape((-1,) + bshape)
+    q = jnp.floor(f * recip).astype(jnp.int32)
     r = S - q * m_i
     r = jnp.where(r < 0, r + m_i, r)
     r = jnp.where(r < 0, r + m_i, r)
@@ -411,23 +422,24 @@ def rns_to_limbs(rns: RNSCtx, x: RVal):
     ripple, then reduced by up to two conditional subtractions of p."""
     assert x.bound <= 8, x.bound
     k, L = rns.k, rns.L
-    mA, rA_m = rns.m[:k], rns.recip[:k]
-    xa = x.v[..., :k]
-    xhat = _red(xa * rns.crt_inv_a, mA, rA_m)
+    bshape = (1,) * (x.v.ndim - 1)
+    mA = rns.m[:k].reshape((k,) + bshape)
+    rA_m = rns.recip[:k].reshape((k,) + bshape)
+    xa = x.v[:k]
+    xhat = _red(xa * rns.crt_inv_a.reshape((k,) + bshape), mA, rA_m)
     alpha = jnp.floor(
-        jnp.sum(xhat * rns.w_alpha_a, axis=-1) * (1.0 / (1 << _ALPHA_SCALE))
-        + _EPS_EXACT).astype(jnp.int32)
+        jnp.sum(xhat * rns.w_alpha_a.reshape((k,) + bshape), axis=0)
+        * (1.0 / (1 << _ALPHA_SCALE)) + _EPS_EXACT).astype(jnp.int32)
     S = jax.lax.dot_general(
-        xhat.astype(jnp.int32), rns.crt_rows,
-        (((xhat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)          # [*batch, D8] < 2^27
-    T = S - alpha[..., None] * rns.a_rows          # signed rows
+        rns.crt_rows, xhat.astype(jnp.int32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)          # [D8, *batch] < 2^27
+    T = S - alpha[None] * rns.a_rows.reshape((-1,) + bshape)
     # signed carry ripple over the D8 digit rows (cold path, unrolled)
-    D8 = T.shape[-1]
+    D8 = T.shape[0]
     digits = []
-    carry = jnp.zeros(T.shape[:-1], jnp.int32)
+    carry = jnp.zeros(T.shape[1:], jnp.int32)
     for j in range(D8):
-        t = T[..., j] + carry
+        t = T[j] + carry
         carry = t >> 8                             # arithmetic shift: floor
         digits.append(t - (carry << 8))
     # 8-bit digits -> 16-bit limbs [L+1, *batch]
@@ -449,11 +461,12 @@ def to_rns_mont(rns: RNSCtx, x_mont_limbs) -> RVal:
     """Limb Montgomery form (x*R mod p, [L, *batch]) -> RNS Montgomery form
     (residues of x*A mod-ish p, bound 3)."""
     v = limbs_to_rns(rns, x_mont_limbs)
-    return r_mul(rns, RVal(v, 1),
-                 RVal(jnp.broadcast_to(rns.c_in, v.shape), 1))
+    c = rns.c_in.reshape((-1,) + (1,) * (v.ndim - 1))
+    return r_mul(rns, RVal(v, 1), RVal(jnp.broadcast_to(c, v.shape), 1))
 
 
 def from_rns_mont(rns: RNSCtx, x: RVal):
     """RNS Montgomery form -> limb Montgomery form (x*R mod p)."""
-    c = RVal(jnp.broadcast_to(rns.c_out, x.v.shape), 1)
-    return rns_to_limbs(rns, r_mul(rns, x, c))
+    c = rns.c_out.reshape((-1,) + (1,) * (x.v.ndim - 1))
+    cb = RVal(jnp.broadcast_to(c, x.v.shape), 1)
+    return rns_to_limbs(rns, r_mul(rns, x, cb))

@@ -1,19 +1,17 @@
 """Pallas TPU kernels for the RNS Miller steps.
 
 The XLA RNS path (ops/rns_pairing.py) is HBM-bound: every r_mul
-materializes ~6-10 [batch, 2k] float32 intermediates to HBM between dots.
+materializes ~6-10 [2k, batch] float32 intermediates to HBM between dots.
 Here one kernel computes a whole Miller doubling/addition step with every
 intermediate in VMEM, re-using the *same* step functions
 (rns_pairing._dbl_step/_add_step) and field primitives (fieldcore/rns.py)
 inside the kernel -- the math is written once; this module only changes
 where it runs.  The base-extension dots hit the MXU from inside the
-kernel (jnp.dot path, fp32 accumulation).
+kernel (fp32 accumulation); arrays are channel-major [2k, B] so the batch
+fills the lane axis completely.
 
-Per step the HBM traffic drops from ~100+ MB (at batch 2048) to one
-read+write of the 9 state/point arrays (~13 MB), moving the bottleneck to
-VPU/MXU compute.  Bit-identical to the XLA path (all math is exact fp32
-integer arithmetic; see fieldcore/rns.py's exactness audit).
-"""
+Bit-identical to the XLA path (all math is exact fp32 integer arithmetic;
+see fieldcore/rns.py's exactness audit)."""
 
 from __future__ import annotations
 
@@ -27,12 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fieldcore.rns import RNSCtx
 
-B_TILE = 256
+B_TILE = 512
 
-# Constant inputs passed to every kernel, in order (all f32 except w1/w2).
-_CONST_FIELDS = ("m", "recip", "kp", "negpinv_a", "crt_inv_a", "w1",
-                 "a_mod_b", "p_mod_b", "ainv_b", "crt_inv_b", "w2",
-                 "b_mod_a")
+# Constant inputs passed to every kernel, in order.
+_CONST_FIELDS = ("m", "recip", "kp", "qc_a", "w1", "p_mod_b", "ainv_b",
+                 "crt_inv_b", "w2", "b_mod_a")
 
 
 def _kctx(rns: RNSCtx, refs):
@@ -40,11 +37,6 @@ def _kctx(rns: RNSCtx, refs):
     RNSCtx, fed from VMEM refs, so fieldcore/rns.py primitives run
     unchanged in-kernel."""
     vals = {name: ref[:] for name, ref in zip(_CONST_FIELDS, refs)}
-    # 1-row constant vectors arrive as [1, width]; the field primitives
-    # broadcast them against [B, 2k] arrays, so squeeze the row axis.
-    for name in ("m", "recip", "negpinv_a", "crt_inv_a", "a_mod_b",
-                 "p_mod_b", "ainv_b", "crt_inv_b", "b_mod_a"):
-        vals[name] = vals[name][0]
     return types.SimpleNamespace(k=rns.k, h=rns.h, **vals)
 
 
@@ -70,19 +62,10 @@ def _add_kernel(rns, *refs):
     ox[:], oy[:], oz[:], ofr[:], ofi[:] = X3, Y3, Z3, FR, FI
 
 
-def _const_arrays(rns: RNSCtx):
-    out = []
-    for name in _CONST_FIELDS:
-        v = getattr(rns, name)
-        if v.ndim == 1:
-            v = v[None]                      # [1, width] for 2-D tiling
-        out.append(v)
-    return out
-
-
 def _const_specs(rns: RNSCtx):
     specs = []
-    for v in _const_arrays(rns):
+    for name in _CONST_FIELDS:
+        v = getattr(rns, name)
         specs.append(pl.BlockSpec(
             v.shape, lambda i, nd=v.ndim: (0,) * nd,
             memory_space=pltpu.VMEM))
@@ -90,23 +73,23 @@ def _const_specs(rns: RNSCtx):
 
 
 def _state_spec(ch):
-    return pl.BlockSpec((B_TILE, ch), lambda i: (i, 0),
+    return pl.BlockSpec((ch, B_TILE), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
 
 def _pad_batch(arrs):
-    n = arrs[0].shape[0]
+    n = arrs[0].shape[-1]
     npad = -(-n // B_TILE) * B_TILE
     if npad != n:
-        arrs = [jnp.pad(a, ((0, npad - n), (0, 0))) for a in arrs]
+        arrs = [jnp.pad(a, ((0, 0), (0, npad - n))) for a in arrs]
     return arrs, n, npad
 
 
 def _call(rns: RNSCtx, kernel, state, interpret: bool):
     ch = 2 * rns.k
     arrs, n, npad = _pad_batch(list(state))
-    consts = _const_arrays(rns)
-    out_shape = [jax.ShapeDtypeStruct((npad, ch), jnp.float32)] * 5
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    out_shape = [jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 5
     outs = pl.pallas_call(
         functools.partial(kernel, rns),
         grid=(npad // B_TILE,),
@@ -115,12 +98,12 @@ def _call(rns: RNSCtx, kernel, state, interpret: bool):
         out_shape=out_shape,
         interpret=interpret,
     )(*consts, *arrs)
-    return [o[:n] for o in outs]
+    return [o[:, :n] for o in outs]
 
 
 def dbl_step_pallas(rns: RNSCtx, X, Y, Z, fr, fi, xb, yb,
                     interpret: bool = False):
-    """Same contract as rns_pairing._dbl_step (raw [N, 2k] f32 arrays)."""
+    """Same contract as rns_pairing._dbl_step (raw [2k, N] f32 arrays)."""
     return _call(rns, _dbl_kernel, (X, Y, Z, fr, fi, xb.v, yb.v), interpret)
 
 
@@ -128,3 +111,68 @@ def add_step_pallas(rns: RNSCtx, X, Y, Z, fr, fi, ax, ay, xb, yb,
                     interpret: bool = False):
     return _call(rns, _add_kernel,
                  (X, Y, Z, fr, fi, ax.v, ay.v, xb.v, yb.v), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Final-exponentiation scan steps (square-and-multiply bodies)
+# ---------------------------------------------------------------------------
+
+
+def _pow_kernel(rns, bit_ref, *refs):
+    """F_p square-and-multiply step: acc <- acc^2 * x^bit."""
+    from ..fieldcore import rns as rn
+    from ..fieldcore.rns import RVal
+    consts, rest = refs[:len(_CONST_FIELDS)], refs[len(_CONST_FIELDS):]
+    acc, x, out = rest
+    kc = _kctx(rns, consts)
+    sq = rn.r_mul(kc, RVal(acc[:], 3), RVal(acc[:], 3))
+    mu = rn.r_mul(kc, sq, RVal(x[:], 16))
+    out[:] = jnp.where(bit_ref[0] > 0, mu.v, sq.v)
+
+
+def _fp2_pow_kernel(rns, bit_ref, *refs):
+    """F_p^2 square-and-multiply step (the (conj(f)/f)^l scan body)."""
+    from . import rns_pairing as rp
+    from ..fieldcore.rns import RVal
+    consts, rest = refs[:len(_CONST_FIELDS)], refs[len(_CONST_FIELDS):]
+    ar, ai, xr, xi, owr, owi = rest
+    kc = _kctx(rns, consts)
+    sq = rp._fp2_sqr(kc, (RVal(ar[:], 9), RVal(ai[:], 9)))
+    mu = rp._fp2_mul(kc, sq, (RVal(xr[:], 9), RVal(xi[:], 10)))
+    sel = bit_ref[0] > 0
+    owr[:] = jnp.where(sel, mu[0].v, sq[0].v)
+    owi[:] = jnp.where(sel, mu[1].v, sq[1].v)
+
+
+def _call_bit(rns: RNSCtx, kernel, bit, state, n_out: int, interpret: bool):
+    ch = 2 * rns.k
+    arrs, n, npad = _pad_batch(list(state))
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    bit_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * n_out
+    out_specs = [_state_spec(ch)] * n_out
+    if n_out == 1:
+        out_shape, out_specs = out_shape[0], out_specs[0]
+    outs = pl.pallas_call(
+        functools.partial(kernel, rns),
+        grid=(npad // B_TILE,),
+        in_specs=[bit_spec] + _const_specs(rns) +
+                 [_state_spec(ch)] * len(arrs),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(bit).astype(jnp.int32).reshape(1), *consts, *arrs)
+    if n_out == 1:
+        return outs[:, :n]
+    return [o[:, :n] for o in outs]
+
+
+def pow_step_pallas(rns: RNSCtx, acc, x, bit, interpret: bool = False):
+    """acc^2 * x^bit; raw [2k, N] arrays (x bound <= 16)."""
+    return _call_bit(rns, _pow_kernel, bit, (acc, x), 1, interpret)
+
+
+def fp2_pow_step_pallas(rns: RNSCtx, ar, ai, xr, xi, bit,
+                        interpret: bool = False):
+    return _call_bit(rns, _fp2_pow_kernel, bit, (ar, ai, xr, xi), 2,
+                     interpret)

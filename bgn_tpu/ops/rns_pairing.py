@@ -154,7 +154,13 @@ def _fp2_sqr(rns, x):
 
 def _fp2_conj(rns, x):
     a, b = x
-    return a, rn.r_sub(rns, rn.r_zero(rns, b.v.shape[:-1]), b)
+    return a, rn.r_sub(rns, rn.r_zero(rns, b.v.shape[1:]), b)
+
+
+def _use_pallas():
+    interp = _PALLAS_MODE == "interpret"
+    return (_PALLAS_MODE != "0"
+            and (interp or jax.default_backend() == "tpu")), interp
 
 
 def _rns_pow(rns, x: RVal, bits):
@@ -162,13 +168,20 @@ def _rns_pow(rns, x: RVal, bits):
 
     x.bound must be <= 16 (sqr needs (2*acc)^2 and mul acc*x within h)."""
     assert x.bound <= 16, x.bound
-    one = rn.r_one(rns, x.v.shape[:-1])
+    one = rn.r_one(rns, x.v.shape[1:])
     acc0 = jnp.broadcast_to(one.v, x.v.shape)
+    use_pallas, interp = _use_pallas()
+    if use_pallas:
+        from . import pallas_rns
 
-    def step(acc, bit):
-        acc_sq = rn.r_mul(rns, RVal(acc, 3), RVal(acc, 3))
-        acc_mul = rn.r_mul(rns, acc_sq, x)
-        return jnp.where(bit.astype(bool), acc_mul.v, acc_sq.v), None
+        def step(acc, bit):
+            return pallas_rns.pow_step_pallas(
+                rns, acc, x.v, bit, interpret=interp), None
+    else:
+        def step(acc, bit):
+            acc_sq = rn.r_mul(rns, RVal(acc, 3), RVal(acc, 3))
+            acc_mul = rn.r_mul(rns, acc_sq, x)
+            return jnp.where(bit.astype(bool), acc_mul.v, acc_sq.v), None
 
     acc, _ = jax.lax.scan(step, acc0, bits)
     return RVal(acc, 3)
@@ -181,7 +194,7 @@ def _fp2_inv(rns, x, pm2_bits):
     aa, bb = rn.r_mul_many(rns, [(a, a), (b, b)])
     norm = rn.r_add(rns, aa, bb)
     ninv = _rns_pow(rns, norm, pm2_bits)
-    nb = rn.r_sub(rns, rn.r_zero(rns, b.v.shape[:-1]), b)
+    nb = rn.r_sub(rns, rn.r_zero(rns, b.v.shape[1:]), b)
     return rn.r_mul(rns, a, ninv), rn.r_mul(rns, nb, ninv)
 
 
@@ -189,18 +202,26 @@ def _fp2_pow_bits(rns, x, bits):
     """x^e for an F_p^2 element; e as shared MSB-first bits."""
     xr, xi = x
     assert xr.bound <= 9 and xi.bound <= 10, (xr.bound, xi.bound)
-    one = rn.r_one(rns, xr.v.shape[:-1])
+    one = rn.r_one(rns, xr.v.shape[1:])
     acc0 = (jnp.broadcast_to(one.v, xr.v.shape), jnp.zeros_like(xr.v))
+    use_pallas, interp = _use_pallas()
+    if use_pallas:
+        from . import pallas_rns
 
-    def step(acc, bit):
-        a = (RVal(acc[0], 9), RVal(acc[1], 9))
-        sq = _fp2_sqr(rns, a)
-        mu = _fp2_mul(rns, sq, (xr, xi))
-        assert sq[0].bound <= 9 and sq[1].bound <= 9
-        assert mu[0].bound <= 9 and mu[1].bound <= 9
-        sel = bit.astype(bool)
-        return (jnp.where(sel, mu[0].v, sq[0].v),
-                jnp.where(sel, mu[1].v, sq[1].v)), None
+        def step(acc, bit):
+            return tuple(pallas_rns.fp2_pow_step_pallas(
+                rns, acc[0], acc[1], xr.v, xi.v, bit,
+                interpret=interp)), None
+    else:
+        def step(acc, bit):
+            a = (RVal(acc[0], 9), RVal(acc[1], 9))
+            sq = _fp2_sqr(rns, a)
+            mu = _fp2_mul(rns, sq, (xr, xi))
+            assert sq[0].bound <= 9 and sq[1].bound <= 9
+            assert mu[0].bound <= 9 and mu[1].bound <= 9
+            sel = bit.astype(bool)
+            return (jnp.where(sel, mu[0].v, sq[0].v),
+                    jnp.where(sel, mu[1].v, sq[1].v)), None
 
     acc, _ = jax.lax.scan(step, acc0, bits)
     return RVal(acc[0], 9), RVal(acc[1], 9)

@@ -25,10 +25,10 @@ def _base_a(ctx):
 
 
 def _crt_val(ctx, v_np, b):
-    """Exact value from base-A residues (host CRT)."""
+    """Exact value from base-A residues (host CRT; v_np is [2k, B])."""
     acc, mod = 0, 1
     for i, mi in enumerate(_base_a(ctx)):
-        t = ((int(v_np[b, i]) - acc) * pow(mod % mi, -1, mi)) % mi
+        t = ((int(v_np[i, b]) - acc) * pow(mod % mi, -1, mi)) % mi
         acc += mod * t
         mod *= mi
     return acc
