@@ -78,6 +78,33 @@ def main():
     log(f"EMult: {BATCH * ITERS} pairings in {dt:.2f}s -> {rate:.1f}/s "
         f"on {jax.devices()[0].platform}:{len(jax.devices())} device(s)")
 
+    # Secondary metrics (stderr): batched encrypt + BSGS decrypt ops/s
+    # (the second BASELINE.json config).
+    from bgn_tpu.scheme import _decrypt_l1_kernel
+    t0 = time.time()
+    tables = pk.setup_decryption(sk, rng=rng)
+    log(f"setup_decryption: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
+    np.asarray(m).sum()
+    log(f"decrypt compile+first batch: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(ITERS):
+        found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
+    np.asarray(m).sum()
+    dt_d = time.time() - t0
+    log(f"BSGS decrypt: {BATCH * ITERS} in {dt_d:.2f}s -> "
+        f"{BATCH * ITERS / dt_d:.1f}/s")
+    assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], "decrypt mismatch"
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        c = pk.encrypt(ms, rng=rng)
+    jax.block_until_ready(c.data.x)
+    dt_e = time.time() - t0
+    log(f"encrypt: {BATCH * ITERS} in {dt_e:.2f}s -> "
+        f"{BATCH * ITERS / dt_e:.1f}/s")
+
     n_chips = len(jax.devices())
     baseline = NORTH_STAR_PER_CHIP * n_chips
     print(json.dumps({

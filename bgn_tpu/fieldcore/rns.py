@@ -309,9 +309,10 @@ def _combine_ext(rns: RNSCtx, O, m_dst, recip_dst, base_mod_dst, eps):
     k = rns.k
     O1, O2, O3, Sa = O[:k], O[k:2 * k], O[2 * k:3 * k], O[3 * k]
     v = _red(O1 * 64.0 + O2, m_dst, recip_dst)
-    S = _red(v * 64.0 + O3, m_dst, recip_dst)
     alpha = jnp.floor(Sa * (1.0 / (1 << _ALPHA_SCALE)) + eps)
-    T = S + _KC * m_dst - alpha[None] * base_mod_dst
+    # single reduction for digit-recombine + alpha correction:
+    # v*64 + O3 <= 2^18.8, KC*m - alpha*base in [0, 2^19.05] -> < 2^20
+    T = v * 64.0 + O3 + (_KC * m_dst - alpha[None] * base_mod_dst)
     return _red(T, m_dst, recip_dst), alpha
 
 

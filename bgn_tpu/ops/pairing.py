@@ -240,16 +240,20 @@ def miller_loop_fused(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits):
     return jnp.stack([fr, fi], axis=0)
 
 
+def use_rns(rns) -> bool:
+    """Whether the RNS field path handles this key on this backend."""
+    return rns is not None and (
+        _RNS_MODE == "1"
+        or (_RNS_MODE == "auto" and jax.default_backend() == "tpu"))
+
+
 def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits,
             rns=None):
     """Full batched symmetric pairing e(A, B) -> GT [2, L, *batch].
 
     Identity inputs yield 1 (e(O, X) = 1), matching pbc semantics for
     makeL2 on encryptZero (reference bgn.go:316-321)."""
-    use_rns = rns is not None and (
-        _RNS_MODE == "1"
-        or (_RNS_MODE == "auto" and jax.default_backend() == "tpu"))
-    if use_rns:
+    if use_rns(rns):
         from . import rns_pairing
         z = rns_pairing.pairing_rns(ctx, rns, a, b, n_bits, l_bits)
     elif _USE_FUSED and 2 * ctx.L + 1 <= 129 and \

@@ -113,6 +113,59 @@ def add_step_pallas(rns: RNSCtx, X, Y, Z, fr, fi, ax, ay, xb, yb,
                  (X, Y, Z, fr, fi, ax.v, ay.v, xb.v, yb.v), interpret)
 
 
+def _pt_dbl_kernel(rns, *refs):
+    from . import rns_pairing as rp
+    consts, rest = refs[:len(_CONST_FIELDS)], refs[len(_CONST_FIELDS):]
+    x, y, z, ox, oy, oz = rest
+    kc = _kctx(rns, consts)
+    X3, Y3, Z3 = rp._dbl_pt(kc, x[:], y[:], z[:])
+    ox[:], oy[:], oz[:] = X3, Y3, Z3
+
+
+def _pt_add_kernel(rns, *refs):
+    from . import rns_pairing as rp
+    consts, rest = refs[:len(_CONST_FIELDS)], refs[len(_CONST_FIELDS):]
+    x, y, z, ax, ay, ox, oy, oz = rest
+    kc = _kctx(rns, consts)
+    X3, Y3, Z3 = rp._add_pt(kc, x[:], y[:], z[:],
+                            rp._pt(ax[:]), rp._pt(ay[:]))
+    ox[:], oy[:], oz[:] = X3, Y3, Z3
+
+
+def pt_dbl_pallas(rns: RNSCtx, X, Y, Z, interpret: bool = False):
+    """RNS Jacobian doubling step (scalar-mult ladder)."""
+    ch = 2 * rns.k
+    arrs, n, npad = _pad_batch([X, Y, Z])
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    out_shape = [jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3
+    outs = pl.pallas_call(
+        functools.partial(_pt_dbl_kernel, rns),
+        grid=(npad // B_TILE,),
+        in_specs=_const_specs(rns) + [_state_spec(ch)] * 3,
+        out_specs=[_state_spec(ch)] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*consts, *arrs)
+    return [o[:, :n] for o in outs]
+
+
+def pt_add_pallas(rns: RNSCtx, X, Y, Z, ax, ay, interpret: bool = False):
+    """RNS mixed-addition step (scalar-mult ladder)."""
+    ch = 2 * rns.k
+    arrs, n, npad = _pad_batch([X, Y, Z, ax.v, ay.v])
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    out_shape = [jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3
+    outs = pl.pallas_call(
+        functools.partial(_pt_add_kernel, rns),
+        grid=(npad // B_TILE,),
+        in_specs=_const_specs(rns) + [_state_spec(ch)] * 5,
+        out_specs=[_state_spec(ch)] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*consts, *arrs)
+    return [o[:, :n] for o in outs]
+
+
 # ---------------------------------------------------------------------------
 # Final-exponentiation scan steps (square-and-multiply bodies)
 # ---------------------------------------------------------------------------

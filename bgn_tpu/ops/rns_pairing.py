@@ -126,6 +126,143 @@ def _add_step(rns: RNSCtx, X1, Y1, Z1, fr, fi, ax, ay, xb, yb):
     return X3.v, Y3.v, Z3.v, f_re.v, f_im.v
 
 
+def _dbl_pt(rns: RNSCtx, X, Y, Z):
+    """Jacobian doubling (a = 1 curve), no line math; same formulas and
+    bound invariants as _dbl_step (mirrors ops/curve.py:dbl)."""
+    X, Y, Z = RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
+
+    def muls(*pairs):
+        return rn.r_mul_many(rns, pairs)
+
+    def add(u, v):
+        return rn.r_add(rns, u, v)
+
+    def sub(u, v):
+        return rn.r_sub(rns, u, v)
+
+    XX, YY, ZZ = muls((X, X), (Y, Y), (Z, Z))
+    YYYY, ZZZZ, T, YZ = muls((YY, YY), (ZZ, ZZ), (X, YY), (Y, Z))
+    M = add(add(XX, add(XX, XX)), ZZZZ)
+    S = add(T, T)
+    S = add(S, S)
+    (MM,) = muls((M, M))
+    X3 = sub(sub(MM, S), S)
+    Y8 = add(YYYY, YYYY)
+    Y8 = add(Y8, Y8)
+    Y8 = add(Y8, Y8)
+    (MSX3,) = muls((M, sub(S, X3)))
+    Y3 = sub(MSX3, Y8)
+    Z3 = add(YZ, YZ)
+    assert X3.bound <= _BX and Y3.bound <= _BY and Z3.bound <= _BZ
+    return X3.v, Y3.v, Z3.v
+
+
+def _add_pt(rns: RNSCtx, X1, Y1, Z1, ax, ay):
+    """Mixed addition v + a, no line math, NO completeness selects.
+
+    Valid when v != +-a and neither is the identity -- guaranteed inside
+    a shared-MSB-first ladder over a prime exponent for points of order
+    q1/q2/n (partial multiples of the base never hit +-1 except at the
+    first add, which operates on 2a: see scalar_mul_rns).  Mirrors
+    ops/curve.py:madd's main path (reference Element.PowBig,
+    bgn.go:222-223)."""
+    X1, Y1, Z1 = RVal(X1, _BX), RVal(Y1, _BY), RVal(Z1, _BZ)
+
+    def muls(*pairs):
+        return rn.r_mul_many(rns, pairs)
+
+    def add(u, v):
+        return rn.r_add(rns, u, v)
+
+    def sub(u, v):
+        return rn.r_sub(rns, u, v)
+
+    (ZZ,) = muls((Z1, Z1))
+    U2, ZZZ = muls((ax, ZZ), (Z1, ZZ))
+    (S2,) = muls((ay, ZZZ))
+    H = sub(U2, X1)
+    R = sub(S2, Y1)
+    HH, RR, Z3 = muls((H, H), (R, R), (Z1, H))
+    HHH, V = muls((H, HH), (X1, HH))
+    X3 = sub(sub(sub(RR, HHH), V), V)
+    RVX3, Y1HHH = muls((R, sub(V, X3)), (Y1, HHH))
+    Y3 = sub(RVX3, Y1HHH)
+    assert X3.bound <= _BX and Y3.bound <= _BY and Z3.bound <= _BZ
+    return X3.v, Y3.v, Z3.v
+
+
+def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
+    """base^e in G1 via an RNS double-and-add ladder; e = shared MSB-first
+    bits with bits[0] == 1 (the decrypt exponent q1, bgn.go:222-223).
+
+    base: limb-Montgomery AffinePoint; returns a limb-Montgomery JacPoint
+    with the same coordinates as ops/curve.py:scalar_mul on every input
+    where no degenerate addition occurs (identity bases are fixed up by a
+    final select, exactly like curve.scalar_mul)."""
+    from .curve import JacPoint
+    batch_shape = base.x.shape[1:]
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+
+    def prep(x):
+        return rn.to_rns_mont(rns, x.reshape(ctx.L, flat))
+
+    ax, ay = prep(base.x), prep(base.y)
+    one = rn.r_one(rns, (flat,))
+    X0, Y0 = ax.v, ay.v
+    Z0 = jnp.broadcast_to(one.v, ax.v.shape)
+
+    interp = _PALLAS_MODE == "interpret"
+    if _PALLAS_MODE != "0" and (interp or jax.default_backend() == "tpu"):
+        from . import pallas_rns
+
+        def dblp(*s):
+            return tuple(pallas_rns.pt_dbl_pallas(rns, *s,
+                                                  interpret=interp))
+
+        def maddp(*s):
+            return tuple(pallas_rns.pt_add_pallas(rns, *s, ax, ay,
+                                                  interpret=interp))
+    else:
+        def dblp(*s):
+            return _dbl_pt(rns, *s)
+
+        def maddp(*s):
+            return _add_pt(rns, *s, ax, ay)
+
+    def step(carry, bit):
+        s1 = dblp(*carry)
+        s2 = jax.lax.cond(bit.astype(bool), lambda s: maddp(*s),
+                          lambda s: s, s1)
+        return s2, None
+
+    (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), bits[1:])
+
+    Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
+    Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
+    Zl = rn.from_rns_mont(rns, RVal(Z, _BZ)).reshape((ctx.L,) + batch_shape)
+    # identity base -> identity result (Z = 0), as in curve.scalar_mul
+    Zl = jnp.where(base.inf.astype(bool)[None], jnp.zeros_like(Zl), Zl)
+    return JacPoint(Xl, Yl, Zl)
+
+
+def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, bits):
+    """z^e for GT elements (limb [2, L, *batch] in/out) with the
+    square-and-multiply scan in RNS (same contract as fp2.pow_bits for
+    shared MSB-first exponents; the L2 decrypt csk = c^q1 path)."""
+    batch_shape = z.shape[2:]
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+    zr = rn.to_rns_mont(rns, z[0].reshape(ctx.L, flat))
+    zi = rn.to_rns_mont(rns, z[1].reshape(ctx.L, flat))
+    wr, wi = _fp2_pow_bits(rns, (RVal(zr.v, 9), RVal(zi.v, 9)), bits)
+    out_re = rn.from_rns_mont(rns, wr).reshape((ctx.L,) + batch_shape)
+    out_im = rn.from_rns_mont(rns, wi).reshape((ctx.L,) + batch_shape)
+    return jnp.stack([out_re, out_im], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # F_p^2 in RNS (for the final exponentiation; mirrors ops/fp2.py)
 # ---------------------------------------------------------------------------

@@ -600,12 +600,20 @@ def _rerand_l2_kernel(dev, z, r_bits):
 @jax.jit
 def _decrypt_l1_kernel(dev, tables, q1_bits, pt: cv.AffinePoint):
     ctx = dev.ctx
-    csk = cv.scalar_mul(ctx, pt, q1_bits)            # C^q1 (bgn.go:223)
+    if pairing_mod.use_rns(dev.rns):
+        from .ops import rns_pairing
+        csk = rns_pairing.scalar_mul_rns(ctx, dev.rns, pt, q1_bits)
+    else:
+        csk = cv.scalar_mul(ctx, pt, q1_bits)        # C^q1 (bgn.go:223)
     return bsgs_mod.bsgs_g1(ctx, tables, csk)
 
 
 @jax.jit
 def _decrypt_l2_kernel(dev, tables, q1_bits, z):
     ctx = dev.ctx
-    csk = fp2.pow_bits(ctx, z, q1_bits)              # c^q1
+    if pairing_mod.use_rns(dev.rns):
+        from .ops import rns_pairing
+        csk = rns_pairing.fp2_pow_rns(ctx, dev.rns, z, q1_bits)
+    else:
+        csk = fp2.pow_bits(ctx, z, q1_bits)          # c^q1
     return bsgs_mod.bsgs_gt(ctx, tables, csk)

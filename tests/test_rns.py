@@ -154,3 +154,34 @@ def test_rns_scheme_end_to_end(monkeypatch):
     prod = pk.mult(c1, c2)
     got = sk.decrypt(prod, pk, tables)
     assert list(got) == [m * k for m, k in zip(ms, ks)]
+
+
+def test_rns_decrypt_matches_limb(monkeypatch):
+    """RNS decrypt ladders (scalar_mul_rns / fp2_pow_rns) produce the
+    same decrypts as the limb path at both levels, incl. zero/negatives."""
+    import jax
+
+    from bgn_tpu import scheme
+    from bgn_tpu.ops import pairing as pairing_mod
+
+    rng = random.Random(31)
+    pk, sk = scheme.keygen(64, 101, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+    ms = [0, 1, -7, 55, 100, -100, 13, 2]
+    ct = pk.encrypt(ms, rng=rng)
+    l2 = pk.make_l2(ct)
+
+    v1, ok1 = sk.decrypt_with_status(ct, pk, tables)
+    w1, okw1 = sk.decrypt_with_status(l2, pk, tables)
+
+    # the dispatch is trace-time: drop cached traces before flipping mode
+    jax.clear_caches()
+    monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
+    v2, ok2 = sk.decrypt_with_status(ct, pk, tables)
+    w2, okw2 = sk.decrypt_with_status(l2, pk, tables)
+    jax.clear_caches()
+
+    assert list(v1) == list(v2) == ms
+    assert list(ok1) == list(ok2) == [True] * len(ms)
+    assert list(w1) == list(w2) == ms
+    assert list(okw1) == list(okw2) == [True] * len(ms)
