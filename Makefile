@@ -12,6 +12,13 @@ csrc/libbgnhost.so: csrc/hostmath_accel.cpp
 test:
 	python -m pytest tests/ -q
 
+# One pytest process per file: immune to the XLA:CPU long-process
+# compiler instability (see tests/conftest.py).
+test-isolated:
+	for f in tests/test_*.py; do \
+	  python -m pytest $$f -q || exit 1; \
+	done
+
 bench:
 	python bench.py
 

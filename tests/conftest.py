@@ -17,7 +17,19 @@ if "xla_force_host_platform_device_count" not in flags:
         " --xla_cpu_parallel_codegen_split_count=1").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU sporadically segfaults in backend_compile after many large
+    compilations accumulate in one process (seen in full-suite runs; every
+    file passes standalone).  Dropping compiled executables between test
+    modules keeps the process lean.  `make test` additionally runs each
+    file in its own process as the fully isolated path."""
+    yield
+    jax.clear_caches()
