@@ -4,16 +4,25 @@ BSGS decryption.
 Two scaling axes (SURVEY.md §2.3 / §5):
   - DP (batch sharding): ciphertext batches are sharded along 'data'; the
     scheme kernels are elementwise over the batch, so under jit with
-    sharded inputs they run SPMD with zero communication.  The helpers here
-    just place data and document out-shardings.
+    sharded inputs they run SPMD with zero communication (tested directly
+    in tests/test_parallel.py).  The helpers here place data and keep the
+    key replicated.
   - Giant-step sharding (the SP/CP analog): the BSGS lookup loop scales as
     sqrt(msg_space); for large message spaces the i-range i in [0, bound]
     is partitioned across devices under shard_map.  Each device starts its
-    chunk at csk * gamma_inv^(device*chunk) (a tiny ladder over the device
-    index), scans its slice against the replicated baby-step table, and the
-    first hit is combined with a min-reduction over the mesh axis -- all
-    hits for a given csk encode the same m, so min is exact first-hit
-    semantics (gsbs.go:98).
+    chunk at csk * gamma_inv^(device*chunk) (the per-device offsets are
+    precomputed OUTSIDE shard_map and arrive pre-sharded along 'data', so
+    no in-shard ladder is needed), scans its slice against the replicated
+    baby-step table, and the first hit is combined with one pmin over the
+    mesh axis -- all hits for a given csk encode the same m, so min is
+    exact first-hit semantics (gsbs.go:98).
+
+Both the positive and the negative lane (the reference's decrypt-then-
+retry-Neg order, bgn.go:235-242) ride ONE giant-step scan: the lanes are
+stacked on an extra axis exactly like the single-chip kernel
+(ops/bsgs.py:200-210), so a sharded decrypt costs one scan, not two.
+Both groups are covered: G1 (level-1 ciphertexts) and GT (level-2),
+mirroring the reference's getDL serving both (gsbs.go:54-106).
 """
 
 from __future__ import annotations
@@ -23,11 +32,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..fieldcore import limbs as lb
 from ..ops import bsgs as bsgs_mod
+from ..ops import curve as cv
 from ..ops import fp2
+from ..ops.curve import AffinePoint, JacPoint
 from .mesh import DATA_AXIS, replicate, shard_ciphertext
 
 _NOT_FOUND = jnp.int32(2 ** 31 - 1)
@@ -36,6 +47,9 @@ _NOT_FOUND = jnp.int32(2 ** 31 - 1)
 # ---------------------------------------------------------------------------
 # Data-parallel scheme ops
 # ---------------------------------------------------------------------------
+# The scheme kernels are batch-elementwise, so DP needs no special kernels:
+# shard the inputs, replicate the key, and XLA runs them SPMD.  These
+# helpers encapsulate exactly that placement.
 
 
 def encrypt_sharded(pk, ms, mesh, rng=None):
@@ -47,7 +61,6 @@ def encrypt_sharded(pk, ms, mesh, rng=None):
 def mult_sharded(pk, a, b, mesh, rng=None):
     """Pairing EMult on sharded batches: pure DP, no collectives."""
     dev = replicate(pk.dev, mesh)
-
     pk2 = _with_dev(pk, dev)
     return pk2.mult(a, b, rng=rng)
 
@@ -64,83 +77,214 @@ def _with_dev(pk, dev):
 # ---------------------------------------------------------------------------
 
 
-def _device_chunk(bound: int, ndev: int):
-    chunk = -(-(bound + 1) // ndev)
-    return chunk
+def _device_chunk(bound: int, ndev: int) -> int:
+    return -(-(bound + 1) // ndev)
+
+
+def _chunk_bits(chunk: int):
+    return jnp.asarray(lb.int_to_bits(chunk, max(chunk.bit_length(), 1)))
+
+
+def _encode_candidates(hits, vals, d, chunk: int, bound: int, batch_ndim):
+    """hits/vals [chunk, 2, *batch] -> candidate m or NOT_FOUND, min over
+    the local chunk; reference indexing m = i*bound + val + 1 (gsbs.go:98)."""
+    jidx = jnp.arange(chunk, dtype=jnp.int32)
+    i_global = (d.astype(jnp.int32) * chunk + jidx).reshape(
+        (chunk,) + (1,) * (1 + batch_ndim))
+    in_range = i_global <= bound
+    cand = jnp.where(hits.astype(bool) & in_range,
+                     i_global * bound + vals.astype(jnp.int32) + 1,
+                     _NOT_FOUND)
+    return jnp.min(cand, axis=0)                   # [2, *batch]
+
+
+def _combine_lanes(best, is_zero):
+    """best [2, *batch] int32 (pos lane, neg lane) -> (m, found), matching
+    the reference's positive-then-negative preference (bgn.go:235-242) and
+    identity => 0 (bgn.go:359-362)."""
+    found_p = best[0] != _NOT_FOUND
+    found_n = best[1] != _NOT_FOUND
+    m = jnp.where(found_p, best[0], -best[1])
+    m = jnp.where(is_zero, 0, m)
+    found = is_zero | found_p | found_n
+    return jnp.where(found, m, 0), found
+
+
+def _shard_offsets(offs, mesh):
+    """Per-device chunk-start offsets [ndev, ...] -> sharded along 'data'."""
+    spec = P(*((DATA_AXIS,) + (None,) * (offs.ndim - 1)))
+    return jax.lax.with_sharding_constraint(offs, NamedSharding(mesh, spec))
 
 
 @partial(jax.jit, static_argnames=("mesh", "bound"))
 def _bsgs_gt_sharded(ctx, table, gamma_inv, csk, mesh, bound: int):
-    """Giant-step-sharded GT lookup: csk [2, L, *batch] already = c^q1."""
+    """Giant-step-sharded GT lookup; csk [2, L, *batch] already = c^q1.
+
+    Positive and negative (conjugate: GT is unitary) lanes share the scan.
+    Returns best [2, *batch]: candidate m per lane or NOT_FOUND."""
     ndev = mesh.shape[DATA_AXIS]
     chunk = _device_chunk(bound, ndev)
     L = ctx.L
     batch_shape = csk.shape[2:]
 
-    # gamma_inv^chunk, computed once (host-static exponent bits)
-    chunk_bits = jnp.asarray(lb.int_to_bits(chunk, max(chunk.bit_length(), 1)))
-    gi = lb.expand_to(gamma_inv, (2, L) + batch_shape)
-    gi_chunk = fp2.pow_bits(ctx, gi, chunk_bits)
+    # per-device chunk-start offsets (gamma_inv^chunk)^d, d = 0..ndev-1,
+    # computed once at batch shape () and sharded so each device reads its
+    # own row inside shard_map
+    gi_chunk = fp2.pow_bits(ctx, gamma_inv, _chunk_bits(chunk))
 
-    def shard_fn(csk_l, gi_l, gi_chunk_l, table_l):
+    def off_step(z, _):
+        return fp2.mul(ctx, z, gi_chunk), z
+
+    _, offs = jax.lax.scan(off_step, fp2.one(ctx, ()), None, length=ndev)
+    offs = _shard_offsets(offs, mesh)              # [ndev, 2, L]
+
+    neg_csk = fp2.conj(ctx, csk)                   # GT inverse = conjugate
+    both = jnp.stack([csk, neg_csk], axis=2)       # [2, L, 2, *batch]
+    gi = lb.expand_to(gamma_inv, (2, L) + (2,) + batch_shape)
+
+    def shard_fn(both_l, gi_l, offs_l, table_l):
         d = jax.lax.axis_index(DATA_AXIS)
-        # start = csk * (gamma_inv^chunk)^d  -- tiny ladder over device index
-        acc = fp2.one(ctx, batch_shape)
-        for k in reversed(range(max(ndev - 1, 1).bit_length())):
-            acc = fp2.sqr(ctx, acc)
-            bit = ((d >> k) & 1).astype(jnp.uint32)
-            muld = fp2.mul(ctx, acc, gi_chunk_l)
-            acc = fp2.select(jnp.broadcast_to(bit, batch_shape), muld, acc)
-        aux0 = fp2.mul(ctx, csk_l, acc)
+        off = offs_l[0].reshape((2, L) + (1,) * (1 + len(batch_shape)))
+        aux0 = fp2.mul(ctx, both_l, off)
 
         def chain(z, _):
             return fp2.mul(ctx, z, gi_l), z
 
         _, auxs = jax.lax.scan(chain, aux0, None, length=chunk)
-        auxs = jnp.moveaxis(auxs, 0, 2)        # [2, L, chunk, *batch]
+        # auxs [chunk, 2, L, 2, *batch] -> words [2L, chunk, 2, *batch]
+        auxs = jnp.moveaxis(auxs, 0, 2)
         words = auxs.reshape((2 * L,) + auxs.shape[2:])
         hits, vals = bsgs_mod._lookup(table_l, words)
-        # local i = d*chunk + j; encode candidate m or NOT_FOUND
-        jidx = jnp.arange(chunk, dtype=jnp.int32)
-        i_global = (d.astype(jnp.int32) * chunk + jidx).reshape(
-            (chunk,) + (1,) * len(batch_shape))
-        in_range = (i_global <= bound)
-        cand = jnp.where(
-            hits.astype(bool) & in_range,
-            i_global * bound + vals.astype(jnp.int32) + 1,
-            _NOT_FOUND)
-        local_best = jnp.min(cand, axis=0)
-        best = jax.lax.pmin(local_best, DATA_AXIS)
-        return best
+        local = _encode_candidates(hits, vals, d, chunk, bound,
+                                   len(batch_shape))
+        return jax.lax.pmin(local, DATA_AXIS)
 
-    best = jax.shard_map(
+    return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
         out_specs=P(),
         check_vma=False,
-    )(csk, gi, gi_chunk, table)
-    found = best != _NOT_FOUND
-    return found, jnp.where(found, best, 0)
+    )(both, gi, offs, table)
+
+
+@partial(jax.jit, static_argnames=("mesh", "bound"))
+def _bsgs_g1_sharded(ctx, table, gamma_inv: AffinePoint, csk: JacPoint,
+                     mesh, bound: int):
+    """Giant-step-sharded G1 lookup; csk = C^q1 (Jacobian [*, L, *batch]).
+
+    Same structure as the GT variant: pos/neg lanes stacked, per-device
+    offsets presharded, one scan of complete mixed additions, candidates
+    normalized with one batch inversion per device, then lookup + pmin."""
+    ndev = mesh.shape[DATA_AXIS]
+    chunk = _device_chunk(bound, ndev)
+    L = ctx.L
+    batch_shape = csk.Z.shape[1:]
+
+    # (gamma_inv^chunk)^d offsets at batch shape (), normalized to affine
+    gi_chunk = cv.normalize(
+        ctx, cv.scalar_mul(ctx, gamma_inv, _chunk_bits(chunk)))
+
+    def off_step(v, _):
+        return cv.madd(ctx, v, gi_chunk), v
+
+    v0 = cv.jac_infinity(ctx, ())
+    _, offs_jac = jax.lax.scan(off_step, v0, None, length=ndev)
+    # normalize the ndev offsets in one inversion -> affine [L, ndev]
+    offs = cv.normalize(ctx, JacPoint(
+        jnp.moveaxis(offs_jac.X, 0, 1), jnp.moveaxis(offs_jac.Y, 0, 1),
+        jnp.moveaxis(offs_jac.Z, 0, 1)))
+    offs_x = _shard_offsets(jnp.moveaxis(offs.x, 1, 0), mesh)  # [ndev, L]
+    offs_y = _shard_offsets(jnp.moveaxis(offs.y, 1, 0), mesh)
+    offs_inf = _shard_offsets(offs.inf.reshape(-1, 1), mesh)   # [ndev, 1]
+
+    from ..fieldcore import montgomery as mg
+    neg_csk = JacPoint(csk.X, mg.mod_neg(ctx, csk.Y), csk.Z)
+    both = JacPoint(*(jnp.stack([a, b], axis=1)
+                      for a, b in zip(csk, neg_csk)))  # [L, 2, *batch]
+
+    base = AffinePoint(
+        lb.expand_to(gamma_inv.x, (L, 2) + batch_shape),
+        lb.expand_to(gamma_inv.y, (L, 2) + batch_shape),
+        jnp.broadcast_to(gamma_inv.inf.reshape((1,) * (1 + len(batch_shape))),
+                         (2,) + batch_shape))
+    base2 = cv.dbl(ctx, cv.to_jac(ctx, base))
+
+    def shard_fn(bX, bY, bZ, ox, oy, oinf, bx, by, binf,
+                 b2X, b2Y, b2Z, table_l):
+        d = jax.lax.axis_index(DATA_AXIS)
+        off = AffinePoint(
+            lb.expand_to(ox[0], (L, 2) + batch_shape),
+            lb.expand_to(oy[0], (L, 2) + batch_shape),
+            jnp.broadcast_to(oinf[0].reshape((1,) * (1 + len(batch_shape))),
+                             (2,) + batch_shape))
+        aux0 = cv.madd(ctx, JacPoint(bX, bY, bZ), off)
+        base_l = AffinePoint(bx, by, binf)
+        base2_l = JacPoint(b2X, b2Y, b2Z)
+
+        def chain(v, _):
+            return cv.madd(ctx, v, base_l, base2_l), v
+
+        _, auxs = jax.lax.scan(chain, aux0, None, length=chunk)
+        # one batch inversion for all chunk*2*batch candidates
+        aff = cv.normalize(ctx, JacPoint(
+            jnp.moveaxis(auxs.X, 0, 1), jnp.moveaxis(auxs.Y, 0, 1),
+            jnp.moveaxis(auxs.Z, 0, 1)))          # [L, chunk, 2, *batch]
+        words = jnp.concatenate([aff.x, aff.y], axis=0)
+        hits, vals = bsgs_mod._lookup(table_l, words)
+        hits = hits * (1 - aff.inf)   # identity never matches a table entry
+        local = _encode_candidates(hits, vals, d, chunk, bound,
+                                   len(batch_shape))
+        return jax.lax.pmin(local, DATA_AXIS)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(both.X, both.Y, both.Z, offs_x, offs_y, offs_inf,
+      base.x, base.y, base.inf, base2.X, base2.Y, base2.Z, table)
 
 
 def decrypt_gt_sharded(pk, sk, tables, ct, mesh):
     """Sharded L2 decryption: DP over the batch is implicit; the giant-step
-    range is split over the mesh.  Mirrors reference decrypt semantics
-    (positive then negative lane, identity => 0)."""
+    range is split over the mesh.  One scan covers both the positive and
+    the negative lane (reference decrypt order, bgn.go:235-242)."""
     ctx = pk.dev.ctx
     csk = _csk_gt(pk.dev, sk.q1_bits, ct.data)
-    neg = fp2.conj(ctx, csk)
-    f_p, m_p = _bsgs_gt_sharded(ctx, tables.table_gt, tables.gamma_inv_gt,
-                                csk, mesh, tables.bound)
-    f_n, m_n = _bsgs_gt_sharded(ctx, tables.table_gt, tables.gamma_inv_gt,
-                                neg, mesh, tables.bound)
+    best = _bsgs_gt_sharded(ctx, tables.table_gt, tables.gamma_inv_gt,
+                            csk, mesh, tables.bound)
     is_zero = fp2.is_one(ctx, csk).astype(bool)
-    m = jnp.where(f_p, m_p, -m_n)
-    m = jnp.where(is_zero, 0, m)
-    found = is_zero | f_p | f_n
+    m, found = _combine_lanes(best, is_zero)
+    return np.asarray(m, dtype=np.int64), np.asarray(found)
+
+
+def decrypt_g1_sharded(pk, sk, tables, ct, mesh):
+    """Sharded L1 decryption (the reference's getDL also serves G1,
+    gsbs.go:54-106): csk = C^q1 then the giant-step-sharded scan."""
+    ctx = pk.dev.ctx
+    csk = _csk_g1(pk.dev, sk.q1_bits, ct.data)
+    best = _bsgs_g1_sharded(ctx, tables.table_g1, tables.gamma_inv_g1,
+                            csk, mesh, tables.bound)
+    is_zero = lb.is_zero(csk.Z).astype(bool)
+    m, found = _combine_lanes(best, is_zero)
     return np.asarray(m, dtype=np.int64), np.asarray(found)
 
 
 @jax.jit
 def _csk_gt(dev, q1_bits, z):
+    from ..ops import pairing as pairing_mod
+    if pairing_mod.use_rns(dev.rns):
+        from ..ops import rns_pairing
+        return rns_pairing.fp2_pow_rns(dev.ctx, dev.rns, z, q1_bits)
     return fp2.pow_bits(dev.ctx, z, q1_bits)
+
+
+@jax.jit
+def _csk_g1(dev, q1_bits, pt):
+    from ..ops import pairing as pairing_mod
+    if pairing_mod.use_rns(dev.rns):
+        from ..ops import rns_pairing
+        return rns_pairing.scalar_mul_rns(dev.ctx, dev.rns, pt, q1_bits)
+    return cv.scalar_mul(dev.ctx, pt, q1_bits)
