@@ -387,6 +387,41 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
     return pk, sk
 
 
+def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
+                          msg_space: int, deterministic: bool,
+                          poly_params: PolyEncodingParams,
+                          P_host: Tuple[int, int],
+                          Q_host: Tuple[int, int]) -> BGNPublicKey:
+    """Rebuild a full public key (device context included) from its host
+    parts -- the shared path for deserialization (serialize.py) and
+    reference import (interop/reference.py).  Mirrors the pairing
+    re-binding the reference does in UnmarshalBinary (bgn.go:626-666)."""
+    from . import encoding
+    L = lb.num_limbs_for_bits(max(key_bits + _L_MARGIN_BITS,
+                                  p.bit_length()))
+    ctx = mg.make_mont_ctx(p, L=L)
+    params = hm.A1Params(q1=0, q2=0, n=n, l=l, p=p)  # public view: no factors
+    e_pp = hm.tate_pairing(P_host, P_host, params)
+    e_qq = hm.tate_pairing(Q_host, Q_host, params)
+    dev = PublicDeviceKey(
+        ctx=ctx,
+        rns=_make_rns(p, L),
+        P=convert.point_from_host(ctx, P_host),
+        Q=convert.point_from_host(ctx, Q_host),
+        n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
+        l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
+        pair_qq=convert.fp2_single_from_host(ctx, e_qq),
+        gt_gen=convert.fp2_single_from_host(ctx, e_pp),
+        p_win=_window_table(ctx, P_host, p, key_bits),
+        q_win=_window_table(ctx, Q_host, p, key_bits),
+    )
+    pk = BGNPublicKey(key_bits=key_bits, n=n, l=l, p=p, msg_space=msg_space,
+                      deterministic=deterministic, poly_params=poly_params,
+                      P_host=tuple(P_host), Q_host=tuple(Q_host), dev=dev)
+    encoding.compute_encoding_table(pk)
+    return pk
+
+
 # ---------------------------------------------------------------------------
 # Host-side helpers
 # ---------------------------------------------------------------------------

@@ -22,11 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import hostmath as hm
-from .fieldcore import limbs as lb
 from .ops import curve as cv
 from .scheme import (BGNPublicKey, BGNSecretKey, Ciphertext,
-                     PolyEncodingParams, PublicDeviceKey)
-from .utils import convert
+                     PolyEncodingParams)
 
 _FORMAT_VERSION = 1
 
@@ -80,43 +78,19 @@ def public_key_to_json(pk: BGNPublicKey) -> str:
 def public_key_from_json(s: str) -> BGNPublicKey:
     """Analog of PublicKey.UnmarshalBinary (bgn.go:626-666): rebuilds the
     device context from the serialized params."""
-    from . import encoding
-    from .fieldcore import montgomery as mg
-    from .scheme import _L_MARGIN_BITS, _make_rns, _window_table
+    from .scheme import public_key_from_parts
 
     d = json.loads(s)
     if d["version"] != _FORMAT_VERSION:
         raise ValueError("unsupported key format version")
-    n, l, p = int(d["n"], 16), int(d["l"], 16), int(d["p"], 16)
-    key_bits = d["key_bits"]
-    P_host = tuple(int(v, 16) for v in d["P"])
-    Q_host = tuple(int(v, 16) for v in d["Q"])
-    L = lb.num_limbs_for_bits(key_bits + _L_MARGIN_BITS)
-    ctx = mg.make_mont_ctx(p, L=L)
-    params = hm.A1Params(q1=0, q2=0, n=n, l=l, p=p)  # public view: no factors
-    e_pp = hm.tate_pairing(P_host, P_host, params)
-    e_qq = hm.tate_pairing(Q_host, Q_host, params)
-    dev = PublicDeviceKey(
-        ctx=ctx,
-        rns=_make_rns(p, L),
-        P=convert.point_from_host(ctx, P_host),
-        Q=convert.point_from_host(ctx, Q_host),
-        n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
-        l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
-        pair_qq=convert.fp2_single_from_host(ctx, e_qq),
-        gt_gen=convert.fp2_single_from_host(ctx, e_pp),
-        p_win=_window_table(ctx, P_host, p, key_bits),
-        q_win=_window_table(ctx, Q_host, p, key_bits),
-    )
     poly_params = PolyEncodingParams(d["poly_base"], d["fp_scale_base"],
                                      d["fp_precision"])
-    pk = BGNPublicKey(key_bits=key_bits, n=n, l=l, p=p,
-                      msg_space=d["msg_space"],
-                      deterministic=d["deterministic"],
-                      poly_params=poly_params, P_host=P_host, Q_host=Q_host,
-                      dev=dev)
-    encoding.compute_encoding_table(pk)
-    return pk
+    return public_key_from_parts(
+        key_bits=d["key_bits"], n=int(d["n"], 16), l=int(d["l"], 16),
+        p=int(d["p"], 16), msg_space=d["msg_space"],
+        deterministic=d["deterministic"], poly_params=poly_params,
+        P_host=tuple(int(v, 16) for v in d["P"]),
+        Q_host=tuple(int(v, 16) for v in d["Q"]))
 
 
 def secret_key_to_json(sk: BGNSecretKey) -> str:
