@@ -73,9 +73,29 @@ _KC = 128                  # C = KC*m bias in _combine_ext; needs alpha < KC
 _H_MIN = 1024              # required headroom A/p (max static bound product
                            # in the pairing formulas is 900 -- rns_pairing)
 
+# Channel-count threshold between the narrow fast path and the wide path.
+# Narrow (k <= 64): the matmul digit blocks recombine in ONE _red
+# (worst input k*3969*66 <= 2^24 - 2^12 exactly at k = 64) and alpha
+# rides the matmul as a bf16 row (error k*2^-8 < the 0.4 bias window).
+# Wide (k > 64): the O1/O2 blocks are reduced separately before
+# recombination (exact to k ~ 4000) and alpha comes from an fp32
+# channel-reduction against the biased reciprocals (error ~k^2*2^-24,
+# fine to k ~ 2500); the KC bias grows with k since alpha <= k.
+_K_NARROW = 64
 
-def _primes_desc(lo: int = 2053, hi: int = 4096) -> list:
-    """12-bit primes, descending (host, tiny sieve)."""
+
+def _kc(k: int) -> int:
+    """The C = KC*m bias constant: must exceed the largest alpha (<= k)."""
+    return _KC if k <= _K_NARROW else 1 << max(7, (k + 1).bit_length())
+
+
+def _primes_desc(lo: int = 1031, hi: int = 4096) -> list:
+    """11/12-bit channel primes, descending (host, tiny sieve).
+
+    The pool spans [2^10, 2^12): largest-first keeps small keys on few
+    big channels; the low tail only engages for multi-thousand-bit
+    moduli (~390 primes -> ~195 channels/base -> p up to ~2260 bits,
+    covering 2048-bit keys)."""
     sieve = np.ones(hi, dtype=bool)
     sieve[:2] = False
     for i in range(2, int(hi ** 0.5) + 1):
@@ -153,9 +173,6 @@ def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
         A *= primes[2 * k]
         B *= primes[2 * k + 1]
         k += 1
-    if k > 102:
-        # alpha-estimate error is k*2^-8; must stay under the 0.4 bias
-        raise ValueError("modulus too large: alpha estimate would overflow")
     A_list = primes[0:2 * k:2]
     B_list = primes[1:2 * k:2]
     h = A // p
@@ -199,15 +216,19 @@ def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
 
         Matmul is W @ x_split with x_split = [hi(6b); lo(6b)] stacked on
         the source-channel axis; output rows are the three weighted
-        blocks (S = 4096*O1 + 64*O2 + O3) plus the alpha-estimate row."""
+        blocks (S = 4096*O1 + 64*O2 + O3) plus the alpha-estimate row.
+        On the wide path (k > _K_NARROW) alpha comes from an fp32
+        channel reduction instead, so the row is zeroed (its weights
+        would not be bf16-exact for the small-prime tail anyway)."""
         hi, lo = mat >> 6, mat & 63
         W = np.zeros((3 * k + 1, 2 * k), dtype=np.float32)
         W[0:k, :k] = hi
         W[k:2 * k, :k] = lo
         W[k:2 * k, k:] = hi
         W[2 * k:3 * k, k:] = lo
-        W[3 * k, :k] = w * 64
-        W[3 * k, k:] = w
+        if k <= _K_NARROW:
+            W[3 * k, :k] = w * 64
+            W[3 * k, k:] = w
         Wb = W.astype(jnp.bfloat16)
         assert np.array_equal(np.asarray(Wb, dtype=np.float32), W)
         return Wb
@@ -297,22 +318,45 @@ def _ext_dot(W, x):
         preferred_element_type=jnp.float32)
 
 
-def _combine_ext(rns: RNSCtx, O, m_dst, recip_dst, base_mod_dst, eps):
+def _alpha_sum(digits, recip_src, eps):
+    """Wide-path alpha estimate: floor(sum_i digits_i/m_i + eps) via an
+    fp32 channel reduction against the biased reciprocals.  Error is
+    ~k^2*2^-24 (partial sums <= k, fp32 rounding) + k*2^-21 downward bias
+    -- orders of magnitude inside the eps windows for k <= ~2500."""
+    bshape = (1,) * (digits.ndim - 1)
+    s = jnp.sum(digits * recip_src.reshape((-1,) + bshape), axis=0)
+    return jnp.floor(s + eps)
+
+
+def _combine_ext(rns: RNSCtx, O, m_dst, recip_dst, base_mod_dst, eps,
+                 alpha=None):
     """Matmul output -> destination-base residues of (value + e*base).
 
     O: [3k+1, *batch] fp32 from W @ (split source digits).
     S_j = 4096*O1 + 64*O2 + O3 is congruent to (value + alpha_true*base)
-    mod each destination channel; alpha_hat = floor(Sa/2^19 + eps).  With
+    mod each destination channel; alpha_hat = floor(Sa/2^19 + eps) on the
+    narrow path, or is passed in from _alpha_sum on the wide path.  With
     eps=_EPS_UNDER the residual e = alpha_true - alpha_hat is in {0, 1}
     (value read as value + e*base); with eps=_EPS_EXACT and value/base
     < 2^-8 the extension is exact (e = 0)."""
     k = rns.k
-    O1, O2, O3, Sa = O[:k], O[k:2 * k], O[2 * k:3 * k], O[3 * k]
-    v = _red(O1 * 64.0 + O2, m_dst, recip_dst)
-    alpha = jnp.floor(Sa * (1.0 / (1 << _ALPHA_SCALE)) + eps)
-    # single reduction for digit-recombine + alpha correction:
-    # v*64 + O3 <= 2^18.8, KC*m - alpha*base in [0, 2^19.05] -> < 2^20
-    T = v * 64.0 + O3 + (_KC * m_dst - alpha[None] * base_mod_dst)
+    O1, O2, O3 = O[:k], O[k:2 * k], O[2 * k:3 * k]
+    if alpha is None:
+        assert k <= _K_NARROW, "wide path must pass a precomputed alpha"
+        alpha = jnp.floor(O[3 * k] * (1.0 / (1 << _ALPHA_SCALE)) + eps)
+    if k <= _K_NARROW:
+        # single reduction: O1*64 + O2 <= k*3969*66 <= 2^24 - 2^12 exact
+        v = _red(O1 * 64.0 + O2, m_dst, recip_dst)
+    else:
+        # staged: O1, O2 <= 2k*3969 reduced separately (exact to k~2000),
+        # then v1*64 + v2 < 2^18 + 2^12
+        v1 = _red(O1, m_dst, recip_dst)
+        v2 = _red(O2, m_dst, recip_dst)
+        v = _red(v1 * 64.0 + v2, m_dst, recip_dst)
+    # digit-recombine + alpha correction in one reduction:
+    # v*64 + O3 + (KC*m - alpha*base) < 2^18.8 + k*3969 + KC*4096 <= 2^24
+    KC = _kc(k)
+    T = v * 64.0 + O3 + (KC * m_dst - alpha[None] * base_mod_dst)
     return _red(T, m_dst, recip_dst), alpha
 
 
@@ -329,15 +373,18 @@ def r_mul(rns: RNSCtx, x: RVal, y: RVal) -> RVal:
     dA, dB = d[:k], d[k:]
     qhat = _red(dA * rns.qc_a, mA, rA_m)
     O = _ext_dot(rns.w1, _split6(qhat))
+    wide = k > _K_NARROW
+    a1 = _alpha_sum(qhat, rA_m, _EPS_UNDER) if wide else None
     # ext1 yields q_ext * p * A^-1 directly (constants folded into w1)
-    qpa, _ = _combine_ext(rns, O, mB, rB_m, rns.p_mod_b, _EPS_UNDER)
+    qpa, _ = _combine_ext(rns, O, mB, rB_m, rns.p_mod_b, _EPS_UNDER, a1)
 
     u = _red(dB * rns.ainv_b, mB, rB_m) + qpa      # < 2m
     r = jnp.where(u >= mB, u - mB, u)              # base-B residues, < 3p
 
     rhat = _red(r * rns.crt_inv_b, mB, rB_m)
     O2 = _ext_dot(rns.w2, _split6(rhat))
-    r_a, _ = _combine_ext(rns, O2, mA, rA_m, rns.b_mod_a, _EPS_EXACT)
+    a2 = _alpha_sum(rhat, rB_m, _EPS_EXACT) if wide else None
+    r_a, _ = _combine_ext(rns, O2, mA, rA_m, rns.b_mod_a, _EPS_EXACT, a2)
     return RVal(jnp.concatenate([r_a, r], axis=0), 3)
 
 
@@ -428,9 +475,12 @@ def rns_to_limbs(rns: RNSCtx, x: RVal):
     rA_m = rns.recip[:k].reshape((k,) + bshape)
     xa = x.v[:k]
     xhat = _red(xa * rns.crt_inv_a.reshape((k,) + bshape), mA, rA_m)
-    alpha = jnp.floor(
-        jnp.sum(xhat * rns.w_alpha_a.reshape((k,) + bshape), axis=0)
-        * (1.0 / (1 << _ALPHA_SCALE)) + _EPS_EXACT).astype(jnp.int32)
+    if k <= _K_NARROW:
+        alpha = jnp.floor(
+            jnp.sum(xhat * rns.w_alpha_a.reshape((k,) + bshape), axis=0)
+            * (1.0 / (1 << _ALPHA_SCALE)) + _EPS_EXACT).astype(jnp.int32)
+    else:
+        alpha = _alpha_sum(xhat, rA_m, _EPS_EXACT).astype(jnp.int32)
     S = jax.lax.dot_general(
         rns.crt_rows, xhat.astype(jnp.int32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)          # [D8, *batch] < 2^27

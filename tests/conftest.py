@@ -24,6 +24,17 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tests marked `slow` (multi-minute 1024-bit CPU compiles) run only
+    when explicitly requested via BGN_TPU_RUN_SLOW=1."""
+    if os.environ.get("BGN_TPU_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: set BGN_TPU_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """XLA:CPU sporadically segfaults in backend_compile after many large
