@@ -29,7 +29,7 @@ B_TILE = 512
 
 # Constant inputs passed to every kernel, in order.
 _CONST_FIELDS = ("m", "recip", "kp", "qc_a", "w1", "p_mod_b", "ainv_b",
-                 "crt_inv_b", "w2", "b_mod_a")
+                 "crt_inv_b", "w2", "b_mod_a", "one_rns")
 
 
 def _kctx(rns: RNSCtx, refs):
@@ -229,3 +229,157 @@ def fp2_pow_step_pallas(rns: RNSCtx, ar, ai, xr, xi, bit,
                         interpret: bool = False):
     return _call_bit(rns, _fp2_pow_kernel, bit, (ar, ai, xr, xi), 2,
                      interpret)
+
+
+# ---------------------------------------------------------------------------
+# Whole-loop kernels: the entire Miller loop / exponentiation ladder as ONE
+# pallas_call with the exponent bits in SMEM and the loop state living in
+# VMEM across a fori_loop -- no per-step dispatch, scan, or HBM round trips
+# (VERDICT.md round-1 item 3).  The step math is the same rns_pairing
+# functions the per-step kernels use, so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _loop_call(rns: RNSCtx, kernel, scalars, state, n_out: int,
+               interpret: bool):
+    """Common wrapper: scalars -> SMEM, state arrays -> batch-tiled VMEM."""
+    ch = 2 * rns.k
+    arrs, n, npad = _pad_batch(list(state))
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // B_TILE,),
+        in_specs=[smem] * len(scalars) + _const_specs(rns) +
+                 [_state_spec(ch)] * len(arrs),
+        out_specs=[_state_spec(ch)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(*scalars, *consts, *arrs)
+    return [o[:, :n] for o in outs]
+
+
+def _split_refs(refs, n_scalars):
+    scalars = refs[:n_scalars]
+    consts = refs[n_scalars:n_scalars + len(_CONST_FIELDS)]
+    rest = refs[n_scalars + len(_CONST_FIELDS):]
+    return scalars, consts, rest
+
+
+def _miller_loop_kernel(rns, nsteps, *refs):
+    from . import rns_pairing as rp
+    (bits_ref, start_ref), consts, rest = _split_refs(refs, 2)
+    ax, ay, xb, yb, ofr, ofi = rest
+    kc = _kctx(rns, consts)
+    axv, ayv, xbv, ybv = ax[:], ay[:], xb[:], yb[:]
+    one = jnp.broadcast_to(kc.one_rns, axv.shape)
+    # V = A (Z = 1), f = 1 at the MSB; leading zero bits are skipped via
+    # the start index (same semantics as the started-flag scan)
+    state = (axv, ayv, one, one, jnp.zeros_like(one))
+
+    def body(i, st):
+        st1 = rp._dbl_step(kc, *st, rp._pt(xbv), rp._pt(ybv))
+        # the final addition (V = -A, vertical line) is elided:
+        # denominator elimination, see ops/pairing.py docstring
+        take = jnp.logical_and(bits_ref[i] > 0, i < nsteps - 1)
+        return jax.lax.cond(
+            take,
+            lambda s: rp._add_step(kc, *s, rp._pt(axv), rp._pt(ayv),
+                                   rp._pt(xbv), rp._pt(ybv)),
+            lambda s: s, st1)
+
+    _, _, _, fr, fi = jax.lax.fori_loop(start_ref[0] + 1, nsteps, body,
+                                        state)
+    ofr[:], ofi[:] = fr, fi
+
+
+def miller_loop_whole_pallas(rns: RNSCtx, ax, ay, xb, yb, bits,
+                             interpret: bool = False):
+    """The full Miller loop in one kernel.  ax/ay/xb/yb: [2k, N] residues
+    (bound 3); bits: [nbits] MSB-first shared exponent.  Returns (fr, fi)
+    with the _BF bound invariant."""
+    bits_i = bits.astype(jnp.int32)
+    start = jnp.argmax(bits_i).astype(jnp.int32).reshape(1)
+    kernel = functools.partial(_miller_loop_kernel, rns, bits.shape[0])
+    return _loop_call(rns, kernel, (bits_i, start), (ax, ay, xb, yb), 2,
+                      interpret)
+
+
+def _ladder_loop_kernel(rns, nsteps, *refs):
+    from . import rns_pairing as rp
+    (bits_ref,), consts, rest = _split_refs(refs, 1)
+    x, y, z, ax, ay, ox, oy, oz = rest
+    kc = _kctx(rns, consts)
+    axv, ayv = ax[:], ay[:]
+
+    def body(i, st):
+        st1 = rp._dbl_pt(kc, *st)
+        return jax.lax.cond(
+            bits_ref[i] > 0,
+            lambda s: rp._add_pt(kc, *s, rp._pt(axv), rp._pt(ayv)),
+            lambda s: s, st1)
+
+    X, Y, Z = jax.lax.fori_loop(0, nsteps, body, (x[:], y[:], z[:]))
+    ox[:], oy[:], oz[:] = X, Y, Z
+
+
+def ladder_loop_pallas(rns: RNSCtx, X, Y, Z, ax, ay, bits,
+                       interpret: bool = False):
+    """Double-and-add ladder over bits (all consumed; the caller strips
+    the leading 1 and passes the start state), one kernel."""
+    bits_i = bits.astype(jnp.int32)
+    kernel = functools.partial(_ladder_loop_kernel, rns, bits.shape[0])
+    return _loop_call(rns, kernel, (bits_i,), (X, Y, Z, ax.v, ay.v), 3,
+                      interpret)
+
+
+def _pow_loop_kernel(rns, nsteps, *refs):
+    from ..fieldcore import rns as rn
+    from ..fieldcore.rns import RVal
+    (bits_ref,), consts, rest = _split_refs(refs, 1)
+    x, out = rest
+    kc = _kctx(rns, consts)
+    xv = x[:]
+    acc0 = jnp.broadcast_to(kc.one_rns, xv.shape)
+
+    def body(i, acc):
+        sq = rn.r_mul(kc, RVal(acc, 3), RVal(acc, 3))
+        mu = rn.r_mul(kc, sq, RVal(xv, 16))
+        return jnp.where(bits_ref[i] > 0, mu.v, sq.v)
+
+    out[:] = jax.lax.fori_loop(0, nsteps, body, acc0)
+
+
+def pow_loop_pallas(rns: RNSCtx, x, bits, interpret: bool = False):
+    """x^e in F_p (square-and-multiply over all bits), one kernel;
+    x: [2k, N] residues with bound <= 16."""
+    bits_i = bits.astype(jnp.int32)
+    kernel = functools.partial(_pow_loop_kernel, rns, bits.shape[0])
+    return _loop_call(rns, kernel, (bits_i,), (x,), 1, interpret)[0]
+
+
+def _fp2_pow_loop_kernel(rns, nsteps, *refs):
+    from . import rns_pairing as rp
+    from ..fieldcore.rns import RVal
+    (bits_ref,), consts, rest = _split_refs(refs, 1)
+    xr, xi, owr, owi = rest
+    kc = _kctx(rns, consts)
+    xrv, xiv = xr[:], xi[:]
+    acc0 = (jnp.broadcast_to(kc.one_rns, xrv.shape), jnp.zeros_like(xrv))
+
+    def body(i, acc):
+        sq = rp._fp2_sqr(kc, (RVal(acc[0], 9), RVal(acc[1], 9)))
+        mu = rp._fp2_mul(kc, sq, (RVal(xrv, 9), RVal(xiv, 10)))
+        sel = bits_ref[i] > 0
+        return (jnp.where(sel, mu[0].v, sq[0].v),
+                jnp.where(sel, mu[1].v, sq[1].v))
+
+    ar, ai = jax.lax.fori_loop(0, nsteps, body, acc0)
+    owr[:], owi[:] = ar, ai
+
+
+def fp2_pow_loop_pallas(rns: RNSCtx, xr, xi, bits, interpret: bool = False):
+    """(xr + xi*i)^e in F_p^2 over all bits, one kernel."""
+    bits_i = bits.astype(jnp.int32)
+    kernel = functools.partial(_fp2_pow_loop_kernel, rns, bits.shape[0])
+    return _loop_call(rns, kernel, (bits_i,), (xr, xi), 2, interpret)

@@ -29,10 +29,27 @@ from .curve import AffinePoint
 # Loop-invariant bounds (multiples of p), audited in the module docstring.
 _BX, _BY, _BZ, _BF = 27, 27, 6, 9
 
-# Pallas step kernels (ops/pallas_rns.py): whole step in VMEM.  "0"
-# disables (pure-XLA steps); "interpret" runs the kernels interpreted
-# (CPU parity tests).
+# Pallas kernel granularity (ops/pallas_rns.py):
+#   "loop"           whole ladder/Miller loop in ONE kernel (exponent bits
+#                    in SMEM, state in VMEM across a fori_loop) -- no
+#                    per-step dispatch or HBM round trips.  Compiles ~7x
+#                    faster than per-step but measured SLOWER at the
+#                    headline batch (the in-kernel lax.cond appears to
+#                    predicate both branches), so not yet the default.
+#   "1"              per-step kernels under a lax.scan; the default.
+#   "0"              pure-XLA steps (always the fallback off-TPU).
+#   "interpret"      per-step kernels, interpreter (CPU parity tests).
+#   "loop-interpret" whole-loop kernels, interpreter.
 _PALLAS_MODE = os.environ.get("BGN_TPU_RNS_PALLAS", "1")
+
+
+def _mode():
+    """(kind, interpret): kind in {"xla", "step", "loop"}."""
+    m = _PALLAS_MODE
+    interp = m in ("interpret", "loop-interpret")
+    if m == "0" or not (interp or jax.default_backend() == "tpu"):
+        return "xla", False
+    return ("loop" if m in ("loop", "loop-interpret") else "step"), interp
 
 
 def _pt(v):
@@ -191,6 +208,95 @@ def _add_pt(rns: RNSCtx, X1, Y1, Z1, ax, ay):
     return X3.v, Y3.v, Z3.v
 
 
+def make_rns_window_table(ctx: MontCtx, rns: RNSCtx, table):
+    """Limb-domain fixed-base window table (AffinePoint [L, J, 16]) ->
+    RNS residues ([2k, J, 16] x, y) for fixed_base_mul_rns.  Runs once at
+    key build; identity entries (digit 0) keep garbage residues and are
+    masked by the table's inf flags during the ladder."""
+    L = ctx.L
+    J = table.x.shape[1]
+    x = rn.to_rns_mont(rns, table.x.reshape(L, J * 16))
+    y = rn.to_rns_mont(rns, table.y.reshape(L, J * 16))
+    ch = x.v.shape[0]
+    return (x.v.reshape(ch, J, 16), y.v.reshape(ch, J, 16))
+
+
+def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
+                       digits):
+    """base^e via the radix-16 window table, accumulated in RNS.
+
+    LSB-first window accumulation (no doublings): acc_j = base^(e mod
+    16^j), updated by one mixed addition per window.  Identity handling
+    is EXACT and flag-based (digit == 0 entries and the not-yet-started
+    prefix come from the digits, never from an RNS zero test).  The
+    remaining degenerate-addition cases (acc == +-entry) require
+    e mod 16^j == -+ d*16^j (mod ord(base)); both magnitudes are below
+    16^(j+1), so for windows covering fewer bits than the base's order
+    this is impossible, and for the top windows of a full-width random
+    exponent it happens with probability < 2^-(ord_bits - 4) per encrypt
+    (~2^-250 at 512-bit keys) -- documented in docs/PERF.md; the limb
+    path (cv.fixed_base_mul, complete additions) remains the
+    reference-semantics fallback.
+
+    digits: uint32 [Jd, B] base-16 digits, least-significant first.
+    Returns a limb-Montgomery JacPoint [L, B] (Z = 0 for e = 0).
+    Replaces the two scalar mults of EncryptWithRandomness
+    (bgn.go:344-346) on the RNS fast path."""
+    from .curve import JacPoint
+    tx, ty = table_rns
+    Jd, B = digits.shape
+    ch = tx.shape[0]
+    jidx = jnp.arange(Jd, dtype=jnp.int32).reshape(Jd, 1)
+    d = digits.astype(jnp.int32)
+    gx = jnp.moveaxis(tx[:, jidx, d], 1, 0)        # [Jd, 2k, B]
+    gy = jnp.moveaxis(ty[:, jidx, d], 1, 0)
+    ginf = table_inf[jidx, d].astype(jnp.uint32)   # [Jd, B]
+
+    kind, interp = _mode()
+    if kind != "xla":
+        from . import pallas_rns
+
+        def addp(X, Y, Z, rx, ry):
+            return tuple(pallas_rns.pt_add_pallas(
+                rns, X, Y, Z, _pt(rx), _pt(ry), interpret=interp))
+    else:
+        def addp(X, Y, Z, rx, ry):
+            return _add_pt(rns, X, Y, Z, _pt(rx), _pt(ry))
+
+    one = rn.r_one(rns, (B,))
+    zeros = jnp.zeros((ch, B), jnp.float32)
+
+    def step(carry, row):
+        X, Y, Z, started = carry
+        rx, ry, rinf = row
+        aX, aY, aZ = addp(X, Y, Z, rx, ry)
+        live = (1 - rinf)                          # entry is not identity
+        init = live * (1 - started)                # first live window
+        keep = rinf * started                      # identity entry: skip
+        upd = live * started
+
+        def sel(m, a, b):
+            return jnp.where(m.astype(bool)[None], a, b)
+
+        X2 = sel(init, rx, sel(upd, aX, X))
+        Y2 = sel(init, ry, sel(upd, aY, Y))
+        Z2 = sel(init, jnp.broadcast_to(one.v, (ch, B)),
+                 sel(upd, aZ, Z))
+        del keep
+        return (X2, Y2, Z2, started | live), None
+
+    carry0 = (zeros, zeros, jnp.broadcast_to(one.v, (ch, B)),
+              jnp.zeros((B,), jnp.uint32))
+    (X, Y, Z, started), _ = jax.lax.scan(step, carry0, (gx, gy, ginf))
+
+    Xl = rn.from_rns_mont(rns, rn.RVal(X, _BX))
+    Yl = rn.from_rns_mont(rns, rn.RVal(Y, _BY))
+    Zl = rn.from_rns_mont(rns, rn.RVal(Z, _BZ))
+    # e = 0 (no live window): the identity, Z = 0
+    Zl = jnp.where(started.astype(bool)[None], Zl, jnp.zeros_like(Zl))
+    return JacPoint(Xl, Yl, Zl)
+
+
 def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
     """base^e in G1 via an RNS double-and-add ladder; e = shared MSB-first
     bits with bits[0] == 1 (the decrypt exponent q1, bgn.go:222-223).
@@ -213,31 +319,36 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
     X0, Y0 = ax.v, ay.v
     Z0 = jnp.broadcast_to(one.v, ax.v.shape)
 
-    interp = _PALLAS_MODE == "interpret"
-    if _PALLAS_MODE != "0" and (interp or jax.default_backend() == "tpu"):
+    kind, interp = _mode()
+    if kind == "loop":
         from . import pallas_rns
-
-        def dblp(*s):
-            return tuple(pallas_rns.pt_dbl_pallas(rns, *s,
-                                                  interpret=interp))
-
-        def maddp(*s):
-            return tuple(pallas_rns.pt_add_pallas(rns, *s, ax, ay,
-                                                  interpret=interp))
+        X, Y, Z = pallas_rns.ladder_loop_pallas(
+            rns, X0, Y0, Z0, ax, ay, bits[1:], interpret=interp)
     else:
-        def dblp(*s):
-            return _dbl_pt(rns, *s)
+        if kind == "step":
+            from . import pallas_rns
 
-        def maddp(*s):
-            return _add_pt(rns, *s, ax, ay)
+            def dblp(*s):
+                return tuple(pallas_rns.pt_dbl_pallas(rns, *s,
+                                                      interpret=interp))
 
-    def step(carry, bit):
-        s1 = dblp(*carry)
-        s2 = jax.lax.cond(bit.astype(bool), lambda s: maddp(*s),
-                          lambda s: s, s1)
-        return s2, None
+            def maddp(*s):
+                return tuple(pallas_rns.pt_add_pallas(rns, *s, ax, ay,
+                                                      interpret=interp))
+        else:
+            def dblp(*s):
+                return _dbl_pt(rns, *s)
 
-    (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), bits[1:])
+            def maddp(*s):
+                return _add_pt(rns, *s, ax, ay)
+
+        def step(carry, bit):
+            s1 = dblp(*carry)
+            s2 = jax.lax.cond(bit.astype(bool), lambda s: maddp(*s),
+                              lambda s: s, s1)
+            return s2, None
+
+        (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), bits[1:])
 
     Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
     Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
@@ -294,12 +405,6 @@ def _fp2_conj(rns, x):
     return a, rn.r_sub(rns, rn.r_zero(rns, b.v.shape[1:]), b)
 
 
-def _use_pallas():
-    interp = _PALLAS_MODE == "interpret"
-    return (_PALLAS_MODE != "0"
-            and (interp or jax.default_backend() == "tpu")), interp
-
-
 def _rns_pow(rns, x: RVal, bits):
     """x^e, e as shared MSB-first bits; square-and-multiply scan.
 
@@ -307,8 +412,12 @@ def _rns_pow(rns, x: RVal, bits):
     assert x.bound <= 16, x.bound
     one = rn.r_one(rns, x.v.shape[1:])
     acc0 = jnp.broadcast_to(one.v, x.v.shape)
-    use_pallas, interp = _use_pallas()
-    if use_pallas:
+    kind, interp = _mode()
+    if kind == "loop":
+        from . import pallas_rns
+        acc = pallas_rns.pow_loop_pallas(rns, x.v, bits, interpret=interp)
+        return RVal(acc, 3)
+    if kind == "step":
         from . import pallas_rns
 
         def step(acc, bit):
@@ -341,8 +450,13 @@ def _fp2_pow_bits(rns, x, bits):
     assert xr.bound <= 9 and xi.bound <= 10, (xr.bound, xi.bound)
     one = rn.r_one(rns, xr.v.shape[1:])
     acc0 = (jnp.broadcast_to(one.v, xr.v.shape), jnp.zeros_like(xr.v))
-    use_pallas, interp = _use_pallas()
-    if use_pallas:
+    kind, interp = _mode()
+    if kind == "loop":
+        from . import pallas_rns
+        ar, ai = pallas_rns.fp2_pow_loop_pallas(
+            rns, xr.v, xi.v, bits, interpret=interp)
+        return RVal(ar, 9), RVal(ai, 9)
+    if kind == "step":
         from . import pallas_rns
 
         def step(acc, bit):
@@ -394,8 +508,13 @@ def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
     f0 = Z0
     fi0 = jnp.zeros_like(f0)
 
-    interp = _PALLAS_MODE == "interpret"
-    if _PALLAS_MODE != "0" and (interp or jax.default_backend() == "tpu"):
+    kind, interp = _mode()
+    if kind == "loop":
+        from . import pallas_rns
+        fr, fi = pallas_rns.miller_loop_whole_pallas(
+            rns, X0, Y0, xb.v, yb.v, n_bits, interpret=interp)
+        return (RVal(fr, _BF), RVal(fi, _BF)), batch_shape
+    if kind == "step":
         from . import pallas_rns
 
         def dbl(*s):

@@ -67,6 +67,8 @@ class PublicDeviceKey:
     gt_gen: jax.Array       # [2, L] e(P, P)
     p_win: cv.AffinePoint   # radix-16 window table of P, batch (J, 16)
     q_win: cv.AffinePoint   # radix-16 window table of Q
+    p_win_rns: Any          # RNS residues of p_win ([2k,J,16] x, y) or None
+    q_win_rns: Any          # RNS residues of q_win, or None
 
 
 @dataclasses.dataclass
@@ -364,17 +366,22 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
 
     e_pp = gk.gt_base()
     e_qq = hm.tate_pairing(gk.Q, gk.Q, params)
+    rns = _make_rns(params.p, L)
+    p_win = _window_table(ctx, gk.P, params.p, key_bits)
+    q_win = _window_table(ctx, gk.Q, params.p, key_bits)
     dev = PublicDeviceKey(
         ctx=ctx,
-        rns=_make_rns(params.p, L),
+        rns=rns,
         P=convert.point_from_host(ctx, gk.P),
         Q=convert.point_from_host(ctx, gk.Q),
         n_bits=jnp.asarray(lb.int_to_bits(params.n, key_bits)),
         l_bits=jnp.asarray(lb.int_to_bits(params.l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
-        p_win=_window_table(ctx, gk.P, params.p, key_bits),
-        q_win=_window_table(ctx, gk.Q, params.p, key_bits),
+        p_win=p_win,
+        q_win=q_win,
+        p_win_rns=_win_rns(ctx, rns, p_win),
+        q_win_rns=_win_rns(ctx, rns, q_win),
     )
     poly_params = PolyEncodingParams(poly_base, fp_scale_base, fp_precision)
     pk = BGNPublicKey(key_bits=key_bits, n=params.n, l=params.l, p=params.p,
@@ -403,17 +410,22 @@ def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
     params = hm.A1Params(q1=0, q2=0, n=n, l=l, p=p)  # public view: no factors
     e_pp = hm.tate_pairing(P_host, P_host, params)
     e_qq = hm.tate_pairing(Q_host, Q_host, params)
+    rns = _make_rns(p, L)
+    p_win = _window_table(ctx, P_host, p, key_bits)
+    q_win = _window_table(ctx, Q_host, p, key_bits)
     dev = PublicDeviceKey(
         ctx=ctx,
-        rns=_make_rns(p, L),
+        rns=rns,
         P=convert.point_from_host(ctx, P_host),
         Q=convert.point_from_host(ctx, Q_host),
         n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
         l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
-        p_win=_window_table(ctx, P_host, p, key_bits),
-        q_win=_window_table(ctx, Q_host, p, key_bits),
+        p_win=p_win,
+        q_win=q_win,
+        p_win_rns=_win_rns(ctx, rns, p_win),
+        q_win_rns=_win_rns(ctx, rns, q_win),
     )
     pk = BGNPublicKey(key_bits=key_bits, n=n, l=l, p=p, msg_space=msg_space,
                       deterministic=deterministic, poly_params=poly_params,
@@ -439,6 +451,15 @@ def _make_rns(p: int, L: int):
 
 
 _WINDOW_BITS = 4
+
+
+def _win_rns(ctx, rns, table):
+    """RNS residues of a window table, or None without an RNS context
+    (jitted: the eager conversion chain is dispatch-bound otherwise)."""
+    if rns is None:
+        return None
+    from .ops import rns_pairing
+    return jax.jit(rns_pairing.make_rns_window_table)(ctx, rns, table)
 
 
 def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
@@ -550,12 +571,22 @@ def _device_r_digits(sampler_ctx, key, batch: int, J: int):
     return digits[:J]
 
 
+def _fixed_base(dev: PublicDeviceKey, table, table_rns, digits) -> cv.JacPoint:
+    """base^e from a window table: RNS ladder on the fast path (see
+    rns_pairing.fixed_base_mul_rns), complete limb additions otherwise."""
+    if table_rns is not None and pairing_mod.use_rns(dev.rns):
+        from .ops import rns_pairing
+        return rns_pairing.fixed_base_mul_rns(
+            dev.ctx, dev.rns, table_rns, table.inf, digits)
+    return cv.fixed_base_mul(dev.ctx, table, digits)
+
+
 @jax.jit
 def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
     ctx = dev.ctx
-    g = cv.fixed_base_mul(ctx, dev.p_win, m_digits)  # P^|m|
+    g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)  # P^|m|
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
-    h = cv.fixed_base_mul(ctx, dev.q_win, r_digits)  # Q^r
+    h = _fixed_base(dev, dev.q_win, dev.q_win_rns, r_digits)  # Q^r
     h_aff = cv.normalize(ctx, h)
     c = cv.madd(ctx, g, h_aff)
     return cv.normalize(ctx, c)
@@ -564,7 +595,7 @@ def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
 @jax.jit
 def _encrypt_det_kernel(dev: PublicDeviceKey, m_digits, m_neg):
     ctx = dev.ctx
-    g = cv.fixed_base_mul(ctx, dev.p_win, m_digits)
+    g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
     return cv.normalize(ctx, g)
 

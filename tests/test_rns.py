@@ -34,8 +34,11 @@ def _crt_val(ctx, v_np, b):
     return acc
 
 
-@pytest.mark.parametrize("bits", [80, 220, 515])
+@pytest.mark.parametrize("bits", [80, 220, 515, 800, 2060])
 def test_rns_mul_exact(bits):
+    """800 and 2060 exercise the wide path (k > 64: staged combine
+    reduction + fp32-sum alpha; the narrow single-_red combine would be
+    inexact there -- see fieldcore/rns.py _K_NARROW)."""
     rng = random.Random(bits)
     p = _rand_prime(bits, rng)
     ctx = rn.make_rns_ctx(p)
@@ -154,6 +157,37 @@ def test_rns_scheme_end_to_end(monkeypatch):
     prod = pk.mult(c1, c2)
     got = sk.decrypt(prod, pk, tables)
     assert list(got) == [m * k for m, k in zip(ms, ks)]
+
+
+def test_rns_encrypt_matches_limb(monkeypatch):
+    """The RNS fixed-base window ladder (fixed_base_mul_rns) produces
+    bit-identical ciphertexts to the limb path, incl. m=0 / r=0 lanes
+    (identity handling is flag-based)."""
+    import jax
+
+    from bgn_tpu import scheme
+    from bgn_tpu.ops import pairing as pairing_mod
+
+    rng = random.Random(77)
+    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    ms = [0, 1, -7, 100, 55, 13, 0, 2]
+    rs = [5, 0, 12345, 1, 999999, 424242, 0, pk.n - 1]
+    a1 = pk.encrypt_with_randomness(ms, rs)
+    d1 = pk.encrypt_deterministic(ms)
+
+    jax.clear_caches()
+    monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
+    a2 = pk.encrypt_with_randomness(ms, rs)
+    d2 = pk.encrypt_deterministic(ms)
+    jax.clear_caches()
+
+    for u, v in ((a1, a2), (d1, d2)):
+        np.testing.assert_array_equal(np.asarray(u.data.x),
+                                      np.asarray(v.data.x))
+        np.testing.assert_array_equal(np.asarray(u.data.y),
+                                      np.asarray(v.data.y))
+        np.testing.assert_array_equal(np.asarray(u.data.inf),
+                                      np.asarray(v.data.inf))
 
 
 def test_rns_decrypt_matches_limb(monkeypatch):
