@@ -67,7 +67,7 @@ def _const_specs(rns: RNSCtx):
     for name in _CONST_FIELDS:
         v = getattr(rns, name)
         specs.append(pl.BlockSpec(
-            v.shape, lambda i, nd=v.ndim: (0,) * nd,
+            v.shape, lambda *_, nd=v.ndim: (0,) * nd,
             memory_space=pltpu.VMEM))
     return specs
 
@@ -234,15 +234,19 @@ def fp2_pow_step_pallas(rns: RNSCtx, ar, ai, xr, xi, bit,
 # ---------------------------------------------------------------------------
 # Whole-loop kernels: the entire Miller loop / exponentiation ladder as ONE
 # pallas_call with the exponent bits in SMEM and the loop state living in
-# VMEM across a fori_loop -- no per-step dispatch, scan, or HBM round trips
-# (VERDICT.md round-1 item 3).  The step math is the same rns_pairing
-# functions the per-step kernels use, so results are bit-identical.
+# VMEM *scratch* across a fori_loop -- no per-step dispatch, scan carries,
+# or HBM round trips (VERDICT.md round-1 item 3).  Conditional steps use
+# pl.when (a real scf.if branch: the addition is only EXECUTED on 1-bits,
+# unlike an in-kernel lax.cond which predicates both sides).  The step math
+# is the same rns_pairing functions the per-step kernels use, so results
+# are bit-identical.
 # ---------------------------------------------------------------------------
 
 
 def _loop_call(rns: RNSCtx, kernel, scalars, state, n_out: int,
-               interpret: bool):
-    """Common wrapper: scalars -> SMEM, state arrays -> batch-tiled VMEM."""
+               n_scratch: int, interpret: bool):
+    """Common wrapper: scalars -> SMEM, state arrays -> batch-tiled VMEM,
+    n_scratch VMEM scratch buffers for the loop-resident state."""
     ch = 2 * rns.k
     arrs, n, npad = _pad_batch(list(state))
     consts = [getattr(rns, name) for name in _CONST_FIELDS]
@@ -254,6 +258,7 @@ def _loop_call(rns: RNSCtx, kernel, scalars, state, n_out: int,
                  [_state_spec(ch)] * len(arrs),
         out_specs=[_state_spec(ch)] * n_out,
         out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * n_out,
+        scratch_shapes=[pltpu.VMEM((ch, B_TILE), jnp.float32)] * n_scratch,
         interpret=interpret,
     )(*scalars, *consts, *arrs)
     return [o[:, :n] for o in outs]
@@ -269,28 +274,33 @@ def _split_refs(refs, n_scalars):
 def _miller_loop_kernel(rns, nsteps, *refs):
     from . import rns_pairing as rp
     (bits_ref, start_ref), consts, rest = _split_refs(refs, 2)
-    ax, ay, xb, yb, ofr, ofi = rest
+    ax, ay, xb, yb, ofr, ofi, sX, sY, sZ, sfr, sfi = rest
     kc = _kctx(rns, consts)
     axv, ayv, xbv, ybv = ax[:], ay[:], xb[:], yb[:]
     one = jnp.broadcast_to(kc.one_rns, axv.shape)
     # V = A (Z = 1), f = 1 at the MSB; leading zero bits are skipped via
     # the start index (same semantics as the started-flag scan)
-    state = (axv, ayv, one, one, jnp.zeros_like(one))
+    sX[:], sY[:], sZ[:] = axv, ayv, one
+    sfr[:], sfi[:] = one, jnp.zeros_like(one)
 
-    def body(i, st):
-        st1 = rp._dbl_step(kc, *st, rp._pt(xbv), rp._pt(ybv))
+    def body(i, carry):
+        st = rp._dbl_step(kc, sX[:], sY[:], sZ[:], sfr[:], sfi[:],
+                          rp._pt(xbv), rp._pt(ybv))
+        sX[:], sY[:], sZ[:], sfr[:], sfi[:] = st
+
         # the final addition (V = -A, vertical line) is elided:
         # denominator elimination, see ops/pairing.py docstring
-        take = jnp.logical_and(bits_ref[i] > 0, i < nsteps - 1)
-        return jax.lax.cond(
-            take,
-            lambda s: rp._add_step(kc, *s, rp._pt(axv), rp._pt(ayv),
-                                   rp._pt(xbv), rp._pt(ybv)),
-            lambda s: s, st1)
+        @pl.when(jnp.logical_and(bits_ref[i] > 0, i < nsteps - 1))
+        def _add():
+            st2 = rp._add_step(kc, sX[:], sY[:], sZ[:], sfr[:], sfi[:],
+                               rp._pt(axv), rp._pt(ayv),
+                               rp._pt(xbv), rp._pt(ybv))
+            sX[:], sY[:], sZ[:], sfr[:], sfi[:] = st2
 
-    _, _, _, fr, fi = jax.lax.fori_loop(start_ref[0] + 1, nsteps, body,
-                                        state)
-    ofr[:], ofi[:] = fr, fi
+        return carry
+
+    jax.lax.fori_loop(start_ref[0] + 1, nsteps, body, jnp.int32(0))
+    ofr[:], ofi[:] = sfr[:], sfi[:]
 
 
 def miller_loop_whole_pallas(rns: RNSCtx, ax, ay, xb, yb, bits,
@@ -301,26 +311,32 @@ def miller_loop_whole_pallas(rns: RNSCtx, ax, ay, xb, yb, bits,
     bits_i = bits.astype(jnp.int32)
     start = jnp.argmax(bits_i).astype(jnp.int32).reshape(1)
     kernel = functools.partial(_miller_loop_kernel, rns, bits.shape[0])
-    return _loop_call(rns, kernel, (bits_i, start), (ax, ay, xb, yb), 2,
+    return _loop_call(rns, kernel, (bits_i, start), (ax, ay, xb, yb), 2, 5,
                       interpret)
 
 
 def _ladder_loop_kernel(rns, nsteps, *refs):
     from . import rns_pairing as rp
     (bits_ref,), consts, rest = _split_refs(refs, 1)
-    x, y, z, ax, ay, ox, oy, oz = rest
+    x, y, z, ax, ay, ox, oy, oz, sX, sY, sZ = rest
     kc = _kctx(rns, consts)
     axv, ayv = ax[:], ay[:]
+    sX[:], sY[:], sZ[:] = x[:], y[:], z[:]
 
-    def body(i, st):
-        st1 = rp._dbl_pt(kc, *st)
-        return jax.lax.cond(
-            bits_ref[i] > 0,
-            lambda s: rp._add_pt(kc, *s, rp._pt(axv), rp._pt(ayv)),
-            lambda s: s, st1)
+    def body(i, carry):
+        st = rp._dbl_pt(kc, sX[:], sY[:], sZ[:])
+        sX[:], sY[:], sZ[:] = st
 
-    X, Y, Z = jax.lax.fori_loop(0, nsteps, body, (x[:], y[:], z[:]))
-    ox[:], oy[:], oz[:] = X, Y, Z
+        @pl.when(bits_ref[i] > 0)
+        def _add():
+            st2 = rp._add_pt(kc, sX[:], sY[:], sZ[:],
+                             rp._pt(axv), rp._pt(ayv))
+            sX[:], sY[:], sZ[:] = st2
+
+        return carry
+
+    jax.lax.fori_loop(0, nsteps, body, jnp.int32(0))
+    ox[:], oy[:], oz[:] = sX[:], sY[:], sZ[:]
 
 
 def ladder_loop_pallas(rns: RNSCtx, X, Y, Z, ax, ay, bits,
@@ -329,7 +345,7 @@ def ladder_loop_pallas(rns: RNSCtx, X, Y, Z, ax, ay, bits,
     the leading 1 and passes the start state), one kernel."""
     bits_i = bits.astype(jnp.int32)
     kernel = functools.partial(_ladder_loop_kernel, rns, bits.shape[0])
-    return _loop_call(rns, kernel, (bits_i,), (X, Y, Z, ax.v, ay.v), 3,
+    return _loop_call(rns, kernel, (bits_i,), (X, Y, Z, ax.v, ay.v), 3, 3,
                       interpret)
 
 
@@ -337,17 +353,24 @@ def _pow_loop_kernel(rns, nsteps, *refs):
     from ..fieldcore import rns as rn
     from ..fieldcore.rns import RVal
     (bits_ref,), consts, rest = _split_refs(refs, 1)
-    x, out = rest
+    x, out, sacc = rest
     kc = _kctx(rns, consts)
     xv = x[:]
-    acc0 = jnp.broadcast_to(kc.one_rns, xv.shape)
+    sacc[:] = jnp.broadcast_to(kc.one_rns, xv.shape)
 
-    def body(i, acc):
-        sq = rn.r_mul(kc, RVal(acc, 3), RVal(acc, 3))
-        mu = rn.r_mul(kc, sq, RVal(xv, 16))
-        return jnp.where(bits_ref[i] > 0, mu.v, sq.v)
+    def body(i, carry):
+        sq = rn.r_mul(kc, RVal(sacc[:], 3), RVal(sacc[:], 3))
+        sacc[:] = sq.v
 
-    out[:] = jax.lax.fori_loop(0, nsteps, body, acc0)
+        @pl.when(bits_ref[i] > 0)
+        def _mul():
+            mu = rn.r_mul(kc, RVal(sacc[:], 3), RVal(xv, 16))
+            sacc[:] = mu.v
+
+        return carry
+
+    jax.lax.fori_loop(0, nsteps, body, jnp.int32(0))
+    out[:] = sacc[:]
 
 
 def pow_loop_pallas(rns: RNSCtx, x, bits, interpret: bool = False):
@@ -355,31 +378,112 @@ def pow_loop_pallas(rns: RNSCtx, x, bits, interpret: bool = False):
     x: [2k, N] residues with bound <= 16."""
     bits_i = bits.astype(jnp.int32)
     kernel = functools.partial(_pow_loop_kernel, rns, bits.shape[0])
-    return _loop_call(rns, kernel, (bits_i,), (x,), 1, interpret)[0]
+    return _loop_call(rns, kernel, (bits_i,), (x,), 1, 1, interpret)[0]
 
 
 def _fp2_pow_loop_kernel(rns, nsteps, *refs):
     from . import rns_pairing as rp
     from ..fieldcore.rns import RVal
     (bits_ref,), consts, rest = _split_refs(refs, 1)
-    xr, xi, owr, owi = rest
+    xr, xi, owr, owi, sar, sai = rest
     kc = _kctx(rns, consts)
     xrv, xiv = xr[:], xi[:]
-    acc0 = (jnp.broadcast_to(kc.one_rns, xrv.shape), jnp.zeros_like(xrv))
+    sar[:] = jnp.broadcast_to(kc.one_rns, xrv.shape)
+    sai[:] = jnp.zeros_like(xrv)
 
-    def body(i, acc):
-        sq = rp._fp2_sqr(kc, (RVal(acc[0], 9), RVal(acc[1], 9)))
-        mu = rp._fp2_mul(kc, sq, (RVal(xrv, 9), RVal(xiv, 10)))
-        sel = bits_ref[i] > 0
-        return (jnp.where(sel, mu[0].v, sq[0].v),
-                jnp.where(sel, mu[1].v, sq[1].v))
+    def body(i, carry):
+        sq = rp._fp2_sqr(kc, (RVal(sar[:], 9), RVal(sai[:], 9)))
+        sar[:], sai[:] = sq[0].v, sq[1].v
 
-    ar, ai = jax.lax.fori_loop(0, nsteps, body, acc0)
-    owr[:], owi[:] = ar, ai
+        @pl.when(bits_ref[i] > 0)
+        def _mul():
+            mu = rp._fp2_mul(kc, (RVal(sar[:], 9), RVal(sai[:], 9)),
+                             (RVal(xrv, 9), RVal(xiv, 10)))
+            sar[:], sai[:] = mu[0].v, mu[1].v
+
+        return carry
+
+    jax.lax.fori_loop(0, nsteps, body, jnp.int32(0))
+    owr[:], owi[:] = sar[:], sai[:]
 
 
 def fp2_pow_loop_pallas(rns: RNSCtx, xr, xi, bits, interpret: bool = False):
     """(xr + xi*i)^e in F_p^2 over all bits, one kernel."""
     bits_i = bits.astype(jnp.int32)
     kernel = functools.partial(_fp2_pow_loop_kernel, rns, bits.shape[0])
-    return _loop_call(rns, kernel, (bits_i,), (xr, xi), 2, interpret)
+    return _loop_call(rns, kernel, (bits_i,), (xr, xi), 2, 2, interpret)
+
+
+def _win_ladder_kernel(rns, nwin, *refs):
+    from . import rns_pairing as rp
+    consts = refs[:len(_CONST_FIELDS)]
+    gx, gy, ginf, ox, oy, oz, sX, sY, sZ, sst = refs[len(_CONST_FIELDS):]
+    kc = _kctx(rns, consts)
+    j = pl.program_id(1)
+    rx, ry = gx[0], gy[0]                     # [ch, B] window-j entries
+    live = (1.0 - ginf[0])                    # [1, B]: entry not identity
+    one = jnp.broadcast_to(kc.one_rns, rx.shape)
+
+    @pl.when(j == 0)
+    def _init():
+        sX[:], sY[:], sZ[:] = jnp.zeros_like(rx), jnp.zeros_like(rx), one
+        sst[:] = jnp.zeros_like(rx)
+
+    # one mixed addition per window; identity/unstarted lanes are fixed up
+    # by the flag selects below (garbage adds never escape)
+    aX, aY, aZ = rp._add_pt(kc, sX[:], sY[:], sZ[:],
+                            rp._pt(rx), rp._pt(ry))
+    st = sst[:]
+    init = live * (1.0 - st)                  # first live window: acc = entry
+    upd = live * st                           # live later window: acc += entry
+    sX[:] = jnp.where(init > 0, rx, jnp.where(upd > 0, aX, sX[:]))
+    sY[:] = jnp.where(init > 0, ry, jnp.where(upd > 0, aY, sY[:]))
+    sZ[:] = jnp.where(init > 0, one, jnp.where(upd > 0, aZ, sZ[:]))
+    sst[:] = jnp.maximum(st, jnp.broadcast_to(live, st.shape))
+
+    @pl.when(j == nwin - 1)
+    def _out():
+        ox[:], oy[:] = sX[:], sY[:]
+        # e = 0 (no live window): zero residues -> limb zero -> identity
+        oz[:] = jnp.where(sst[:] > 0, sZ[:], 0.0)
+
+
+def window_ladder_pallas(rns: RNSCtx, gx, gy, ginf, interpret: bool = False):
+    """Fixed-base window accumulation in ONE kernel: the window axis rides
+    the (sequential) second grid dimension, streaming each gathered entry
+    block HBM->VMEM while the accumulator lives in VMEM scratch.
+
+    gx/gy: [Jd, 2k, N] gathered per-window entries (bound 3);
+    ginf: [Jd, N] float {0,1} identity flags.  Returns (X, Y, Z) residue
+    arrays with Z = 0 for lanes whose exponent was 0."""
+    ch = 2 * rns.k
+    Jd, _, n = gx.shape
+    npad = -(-n // B_TILE) * B_TILE
+    if npad != n:
+        pad3 = ((0, 0), (0, 0), (0, npad - n))
+        gx = jnp.pad(gx, pad3)
+        gy = jnp.pad(gy, pad3)
+        ginf = jnp.pad(ginf, ((0, 0), (0, npad - n)), constant_values=1.0)
+    # Mosaic needs the last-two block dims to divide (8, 128) or equal the
+    # array dims; the per-window flag row rides as [Jd, 1, N] so its block
+    # (1, 1, B_TILE) matches the singleton dim exactly.
+    ginf3 = ginf.reshape(Jd, 1, npad)
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    outs = pl.pallas_call(
+        functools.partial(_win_ladder_kernel, rns, Jd),
+        grid=(npad // B_TILE, Jd),
+        in_specs=_const_specs(rns) + [
+            pl.BlockSpec((1, ch, B_TILE), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch, B_TILE), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B_TILE), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((ch, B_TILE), lambda t, j: (0, t),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((ch, B_TILE), jnp.float32)] * 4,
+        interpret=interpret,
+    )(*consts, gx, gy, ginf3)
+    return [o[:, :n] for o in outs]

@@ -190,6 +190,50 @@ def test_rns_encrypt_matches_limb(monkeypatch):
                                       np.asarray(v.data.inf))
 
 
+def test_rns_loop_kernels_match_xla(monkeypatch):
+    """Whole-loop Pallas kernels (Miller loop, window ladder, pow loops;
+    BGN_TPU_RNS_PALLAS=loop) agree bit-for-bit with the XLA step path,
+    via the interpreter on CPU (pallas_rns.py whole-loop section)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bgn_tpu import scheme
+    from bgn_tpu.ops import rns_pairing as rp
+
+    rng = random.Random(5)
+    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    dev = pk.dev
+    ms = [0, 1, 2, 7, 100, 55]
+    a = pk.encrypt(ms, rng=rng).data
+    b = pk.encrypt([1, 3, 5, 2, 99, 4], rng=rng).data
+
+    # full pairing: Miller whole-loop + F_p/F_p^2 pow loops
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
+    z_ref = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_bits, dev.l_bits)
+    jax.clear_caches()
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
+    z_loop = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_bits, dev.l_bits)
+    np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_loop))
+
+    # fixed-base window ladder (the encrypt core), incl. e = 0 and
+    # identity-first-window lanes
+    J = dev.p_win.x.shape[1]
+    drng = np.random.default_rng(9)
+    digits = drng.integers(0, 16, size=(J, 6), dtype=np.uint32)
+    digits[:, 3] = 0
+    digits[0, 2] = 0
+    dj = jnp.asarray(digits)
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
+    refw = rp.fixed_base_mul_rns(dev.ctx, dev.rns, dev.p_win_rns,
+                                 dev.p_win.inf, dj)
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
+    gotw = rp.fixed_base_mul_rns(dev.ctx, dev.rns, dev.p_win_rns,
+                                 dev.p_win.inf, dj)
+    jax.clear_caches()
+    for u, v in zip(refw, gotw):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
 def test_rns_decrypt_matches_limb(monkeypatch):
     """RNS decrypt ladders (scalar_mul_rns / fp2_pow_rns) produce the
     same decrypts as the limb path at both levels, incl. zero/negatives."""
