@@ -1,18 +1,28 @@
-"""Benchmark harness: batched pairing EMult throughput (the headline metric).
+"""Benchmark harness.
 
+Default (driver contract): the headline batched pairing-EMult metric as ONE
+JSON line on stdout plus encrypt/BSGS-decrypt secondaries on stderr.
 Mirrors the reference's benchmark config (bgn_test.go:8-13, 127-140:
-KEYBITS=512, MSGSPACE=1021, deterministic) and reports pairings/s on the
-default JAX device.  The reference publishes no numbers (BASELINE.md); the
-comparison point is the BASELINE.json north star of 1e5 pairing EMults/s on
-a v5e-8, i.e. 12.5k/s per chip -- vs_baseline is value / (per-chip share of
-the north star * chips visible).
+KEYBITS=512, MSGSPACE=1021, deterministic).  The reference publishes no
+numbers (BASELINE.md); the comparison point is the BASELINE.json north star
+of 1e5 pairing EMults/s on a v5e-8, i.e. 12.5k/s per chip -- vs_baseline is
+value / (per-chip share of the north star * chips visible).
+
+--full: every BASELINE.json config with the reference's bench names
+(bgn_test.go:87-140 KeyGen/Add/MultConstant/Mult, poly_test.go:10-66
+EncryptPoly/DecryptPoly/AddPoly/MultConstantPoly/MultPoly,
+gadgets_test.go:110-140 ProofOfPlaintextKnowledgeGen/Verify), the
+fixed-point encrypted dot product (config 4), a 1024-bit section
+(config 5's key size; --skip-1024 to omit), and a DP multi-chip scaling
+section when >1 device is visible.  Results land in bench_full.json.
 
 Prints exactly ONE JSON line to stdout:
   {"metric": "emult_pairings_per_sec", "value": N, "unit": "ops/s",
    "vs_baseline": R}
-Supplementary metrics go to stderr.
+Everything else goes to stderr / bench_full.json.
 """
 
+import argparse
 import json
 import os
 import random
@@ -41,77 +51,256 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    from bgn_tpu import scheme
+RESULTS = {}
+
+
+def record(name, ops_per_sec, batch, config, note=""):
+    RESULTS[name] = {"ops_per_sec": round(ops_per_sec, 2), "batch": batch,
+                     "config": config, "note": note}
+    log(f"  {name}: {ops_per_sec:.1f} ops/s (batch {batch})"
+        + (f" -- {note}" if note else ""))
+
+
+def timed(fn, materialize, iters, total_ops):
+    """Compile+warm once, then rate over `iters` calls (total_ops items)."""
+    materialize(fn())
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    materialize(out)
+    return total_ops / (time.time() - t0)
+
+
+def mat_ct(ct):
+    """Materialize a Ciphertext to host (tunnel-safe sync)."""
+    if ct.level2:
+        return np.asarray(ct.data[:, :, 0]).sum()
+    return np.asarray(ct.data.x[0]).sum()
+
+
+def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
+    """Config 1+3 core ops at one key size: Encrypt/Add/MultConstant/
+    Mult/AddL2/Decrypt/DecryptL2 (reference names where they exist)."""
+    from bgn_tpu.scheme import _decrypt_l1_kernel, _mult_kernel
+
+    sfx = label and f"_{label}"
+    ms = [rng.randrange(MSG_SPACE) for _ in range(batch)]
+    ks = [rng.randrange(1, 4) for _ in range(batch)]
+    a = pk.encrypt(ms, rng=rng)
+    b = pk.encrypt(ks, rng=rng)
+    jax.block_until_ready((a.data.x, b.data.x))
+
+    record(f"Encrypt{sfx}",
+           timed(lambda: pk.encrypt(ms, rng=rng), mat_ct, iters,
+                 batch * iters), batch, config)
+    record(f"Add{sfx}",
+           timed(lambda: pk.add(a, b), mat_ct, iters, batch * iters),
+           batch, config)
+    record(f"MultConstant{sfx}",
+           timed(lambda: pk.mult_const(a, ks), mat_ct, iters,
+                 batch * iters), batch, config)
+
+    t0 = time.time()
+    prod_raw = _mult_kernel(pk.dev, a.data, b.data)
+    np.asarray(prod_raw[:, :, 0]).sum()
+    log(f"  pairing compile+first batch: {time.time() - t0:.1f}s")
+    emult = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
+                  lambda o: np.asarray(o[:, :, 0]).sum(), iters,
+                  batch * iters)
+    record(f"Mult{sfx}", emult, batch, 3 if not label else config)
+
+    prod = pk.mult(a, b)
+    record(f"AddL2{sfx}",
+           timed(lambda: pk.add(prod, prod), mat_ct, iters, batch * iters),
+           batch, 3 if not label else config)
+
+    t0 = time.time()
+    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
+    np.asarray(m).sum()
+    log(f"  decrypt compile+first batch: {time.time() - t0:.1f}s")
+    record(f"Decrypt{sfx}",
+           timed(lambda: _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits,
+                                            a.data)[1],
+                 lambda o: np.asarray(o).sum(), iters, batch * iters),
+           batch, config)
+    assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], "decrypt mismatch"
+
+    record(f"DecryptL2{sfx}",
+           timed(lambda: sk.decrypt(prod, pk, tables),
+                 lambda o: np.asarray(o).sum(), max(1, iters // 2),
+                 batch * max(1, iters // 2)), batch, 3 if not label else config)
+    return emult
+
+
+def bench_batch_10k(pk, rng, iters):
+    """Config 2: EAdd + EMultC over 10^4 level-1 ciphertexts."""
+    B = 10_000
+    ms = [rng.randrange(MSG_SPACE) for _ in range(B)]
+    ks = [rng.randrange(-3, 4) or 1 for _ in range(B)]
+    a = pk.encrypt(ms, rng=rng)
+    b = pk.encrypt(ms, rng=rng)
+    jax.block_until_ready((a.data.x, b.data.x))
+    record("Add_10k", timed(lambda: pk.add(a, b), mat_ct, iters, B * iters),
+           B, 2)
+    record("MultConstant_10k",
+           timed(lambda: pk.mult_const(a, ks), mat_ct, iters, B * iters),
+           B, 2)
+
+
+def bench_poly(pk, sk, tables, rng, iters):
+    """Config 2 poly ops, the reference's exact workloads
+    (poly_test.go:10-66: value 100.1, MultConstPoly by 1.0)."""
+    from bgn_tpu import encoding, polyct
+
+    pt = encoding.new_poly_plaintext(pk, 100.1)
+    ct = polyct.encrypt_poly(pk, pt, rng=rng)
+    mat_ct(ct.ct)
+
+    def mat_poly(p):
+        return mat_ct(p.ct)
+
+    note = "single-value op; dominated by per-dispatch latency off-batch"
+    record("EncryptPoly",
+           timed(lambda: polyct.encrypt_poly(pk, pt, rng=rng), mat_poly,
+                 iters, iters), 1, 2, note)
+    record("DecryptPoly",
+           timed(lambda: polyct.decrypt_poly(sk, ct, pk, tables),
+                 lambda v: float(v.poly_eval()), iters, iters), 1, 2, note)
+    record("AddPoly",
+           timed(lambda: polyct.add_poly(pk, ct, ct, rng=rng), mat_poly,
+                 iters, iters), 1, 2, note)
+    record("MultConstantPoly",
+           timed(lambda: polyct.mult_const_poly(pk, ct, 1.0, rng=rng),
+                 mat_poly, iters, iters), 1, 2, note)
+    record("MultPoly",
+           timed(lambda: polyct.mult_poly(pk, ct, ct, rng=rng), mat_poly,
+                 max(1, iters // 2), max(1, iters // 2)), 1, 2, note)
+
+
+def bench_gadgets(pk, sk, rng, iters, batch=256):
+    """Config 4: PoK gen/verify (gadgets_test.go:110-140, batched) + the
+    fixed-point encrypted dot product."""
+    from bgn_tpu import gadgets
+    from bgn_tpu.models import encrypted_dot as ed
+
+    vs = [rng.randrange(pk.n) % MSG_SPACE for _ in range(batch)]
+    zs = [rng.randrange(pk.n) for _ in range(batch)]
+    proof = gadgets.new_proof_of_plaintext_knowledge(pk, sk, vs, zs,
+                                                     rng=rng)
+    ct = proof.ct
+    record("ProofOfPlaintextKnowledgeGen",
+           timed(lambda: gadgets.new_proof_of_plaintext_knowledge(
+                     pk, sk, vs, zs, rng=rng),
+                 lambda p: mat_ct(p.ct), max(1, iters // 2),
+                 batch * max(1, iters // 2)), batch, 4)
+    ok = gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof)
+    assert bool(ok.all()), "PoK verify rejected a valid proof"
+    record("ProofOfPlaintextKnowledgeVerify",
+           timed(lambda: gadgets.check_proof_of_plaintext_knowledge(
+                     pk, ct, proof),
+                 lambda o: int(np.asarray(o).sum()), max(1, iters // 2),
+                 batch * max(1, iters // 2)), batch, 4)
+
+    # encrypted dot product: D-element vectors, batch columns
+    D, B = 16, 128
+    xs = np.array([[rng.randrange(8) for _ in range(B)] for _ in range(D)])
+    ys = np.array([[rng.randrange(8) for _ in range(B)] for _ in range(D)])
+    ct_x = pk.encrypt(xs.ravel().tolist(), rng=rng).reshape((D, B))
+    ct_y = pk.encrypt(ys.ravel().tolist(), rng=rng).reshape((D, B))
+    jax.block_until_ready(ct_x.data.x)
+    record("EncryptedDot_d16",
+           timed(lambda: ed.encrypted_dot(pk, ct_x, ct_y), mat_ct,
+                 max(1, iters // 4), B * max(1, iters // 4)), B, 4,
+           f"{D}-element dot -> {D} pairings + GT reduce per item")
+
+
+def bench_multichip(pk, sk, tables, rng, iters):
+    """DP scaling: shard the EMult batch over all visible devices
+    (lights up the moment >1 chip exists; scaling efficiency vs 1 chip)."""
+    from bgn_tpu.parallel import mesh as mesh_mod
+    from bgn_tpu.parallel import multihost as mh
     from bgn_tpu.scheme import _mult_kernel
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        log("  multichip: 1 device visible -- skipped")
+        return
+    B = BATCH * ndev
+    ms = [rng.randrange(MSG_SPACE) for _ in range(B)]
+    mesh = mh.make_global_mesh()
+    a = mesh_mod.shard_ciphertext(pk.encrypt(ms, rng=rng), mesh)
+    b = mesh_mod.shard_ciphertext(pk.encrypt(ms, rng=rng), mesh)
+    jax.block_until_ready(a.data.x)
+    rate = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
+                 lambda o: np.asarray(o[:, :, 0]).sum(), iters, B * iters)
+    eff = rate / (RESULTS["Mult"]["ops_per_sec"] * ndev)
+    record(f"Mult_dp{ndev}", rate, B, 5,
+           f"DP over {ndev} devices; scaling efficiency {eff:.2f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="all BASELINE.json configs -> bench_full.json")
+    ap.add_argument("--skip-1024", action="store_true")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+
+    from bgn_tpu import scheme
 
     t0 = time.time()
     rng = random.Random(1234)
     pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
-    log(f"keygen({KEY_BITS}): {time.time() - t0:.1f}s "
+    keygen_s = time.time() - t0
+    log(f"keygen({KEY_BITS}): {keygen_s:.1f}s "
         f"(l={pk.l}, L={pk.dev.ctx.L} limbs)")
-
-    ms = [rng.randrange(MSG_SPACE) for _ in range(BATCH)]
-    t0 = time.time()
-    a = pk.encrypt(ms, rng=rng)
-    b = pk.encrypt(ms, rng=rng)
-    jax.block_until_ready((a.data, b.data))
-    log(f"encrypt 2x{BATCH}: {time.time() - t0:.1f}s (incl. compile)")
-
-    # warm up / compile the pairing kernel.  NOTE: materialize to host --
-    # on the tunneled axon platform block_until_ready can return before the
-    # remote computation finishes, so fetch bytes to be safe.
-    def materialize(x):
-        return np.asarray(x[:, :, 0]).sum()
-
-    t0 = time.time()
-    out = _mult_kernel(pk.dev, a.data, b.data)
-    materialize(out)
-    log(f"pairing compile+first batch: {time.time() - t0:.1f}s")
-
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = _mult_kernel(pk.dev, a.data, b.data)
-    materialize(out)
-    dt = time.time() - t0
-    rate = BATCH * ITERS / dt
-    log(f"EMult: {BATCH * ITERS} pairings in {dt:.2f}s -> {rate:.1f}/s "
-        f"on {jax.devices()[0].platform}:{len(jax.devices())} device(s)")
-
-    # Secondary metrics (stderr): batched encrypt + BSGS decrypt ops/s
-    # (the second BASELINE.json config).
-    from bgn_tpu.scheme import _decrypt_l1_kernel
     t0 = time.time()
     tables = pk.setup_decryption(sk, rng=rng)
     log(f"setup_decryption: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
-    np.asarray(m).sum()
-    log(f"decrypt compile+first batch: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(ITERS):
-        found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
-    np.asarray(m).sum()
-    dt_d = time.time() - t0
-    log(f"BSGS decrypt: {BATCH * ITERS} in {dt_d:.2f}s -> "
-        f"{BATCH * ITERS / dt_d:.1f}/s")
-    assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], "decrypt mismatch"
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        c = pk.encrypt(ms, rng=rng)
-    jax.block_until_ready(c.data.x)
-    dt_e = time.time() - t0
-    log(f"encrypt: {BATCH * ITERS} in {dt_e:.2f}s -> "
-        f"{BATCH * ITERS / dt_e:.1f}/s")
+    log(f"== config 1+3: core ops at {KEY_BITS}-bit, batch {BATCH}")
+    record("KeyGen", 1.0 / keygen_s, 1, 1, "host-side (single)")
+    emult = bench_core(pk, sk, tables, rng, BATCH, args.iters, 1)
+
+    if args.full:
+        log("== config 2: 10^4-batch EAdd/EMultC + poly ops")
+        bench_batch_10k(pk, rng, max(2, args.iters // 2))
+        bench_poly(pk, sk, tables, rng, max(2, args.iters // 2))
+        log("== config 4: gadgets")
+        bench_gadgets(pk, sk, rng, args.iters)
+        log("== config 5: multi-chip DP scaling")
+        bench_multichip(pk, sk, tables, rng, max(2, args.iters // 2))
+        if not args.skip_1024:
+            log("== config 5: 1024-bit")
+            t0 = time.time()
+            rng2 = random.Random(4321)
+            pk2, sk2 = scheme.keygen(1024, MSG_SPACE, rng=rng2)
+            record("KeyGen_1024", 1.0 / (time.time() - t0), 1, 5,
+                   "host-side (single)")
+            tables2 = pk2.setup_decryption(sk2, rng=rng2)
+            bench_core(pk2, sk2, tables2, rng2, 512,
+                       max(2, args.iters // 2), 5, label="1024")
+        out = {
+            "device": f"{jax.devices()[0].platform}:{len(jax.devices())}",
+            "key_bits": KEY_BITS,
+            "msg_space": MSG_SPACE,
+            "configs": "BASELINE.json 1-5 (multi-host pending >1 host)",
+            "results": RESULTS,
+        }
+        path = os.path.join(os.path.dirname(__file__) or ".",
+                            "bench_full.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"wrote {path}")
 
     n_chips = len(jax.devices())
     baseline = NORTH_STAR_PER_CHIP * n_chips
     print(json.dumps({
         "metric": "emult_pairings_per_sec",
-        "value": round(rate, 2),
+        "value": round(emult, 2),
         "unit": "ops/s",
-        "vs_baseline": round(rate / baseline, 4),
+        "vs_baseline": round(emult / baseline, 4),
     }), flush=True)
 
 

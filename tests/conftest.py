@@ -23,6 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent compilation cache: XLA:CPU compiles of the 512-bit graphs
+# dominate suite wall time (TODO.md round-1 item); cache them across runs
+# and across the per-module jax.clear_caches() below (which drops only the
+# in-memory executables).  BGN_TPU_NO_CACHE=1 to disable.
+if not os.environ.get("BGN_TPU_NO_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def pytest_collection_modifyitems(config, items):
     """Tests marked `slow` (multi-minute 1024-bit CPU compiles) run only
