@@ -85,7 +85,8 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
     from bgn_tpu.scheme import _decrypt_l1_kernel, _mult_kernel
 
     sfx = label and f"_{label}"
-    ms = [rng.randrange(MSG_SPACE) for _ in range(batch)]
+    # ms*ks must stay inside MSG_SPACE for the L2 decrypt section
+    ms = [rng.randrange(MSG_SPACE // 3) for _ in range(batch)]
     ks = [rng.randrange(1, 4) for _ in range(batch)]
     a = pk.encrypt(ms, rng=rng)
     b = pk.encrypt(ks, rng=rng)
@@ -116,12 +117,13 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
            batch, 3 if not label else config)
 
     t0 = time.time()
-    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data)
+    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data,
+                                  sk.q1_naf)
     np.asarray(m).sum()
     log(f"  decrypt compile+first batch: {time.time() - t0:.1f}s")
     record(f"Decrypt{sfx}",
            timed(lambda: _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits,
-                                            a.data)[1],
+                                            a.data, sk.q1_naf)[1],
                  lambda o: np.asarray(o).sum(), iters, batch * iters),
            batch, config)
     assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], "decrypt mismatch"

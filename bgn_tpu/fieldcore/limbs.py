@@ -81,6 +81,29 @@ def int_to_bits(x: int, nbits: int) -> np.ndarray:
                     dtype=np.uint32)
 
 
+def int_to_naf(x: int, width: int) -> np.ndarray:
+    """Python int >= 0 -> non-adjacent form, int32 [width+1] digits in
+    {-1, 0, 1}, MSB first (host).
+
+    sum_i d_i * 2^(width-i) == x; NAF has no two adjacent nonzeros, so its
+    nonzero density is ~1/3 vs ~1/2 for plain bits -- the signed-digit
+    ladders in ops/rns_pairing.py do proportionally fewer additions."""
+    if x < 0 or width < x.bit_length():
+        raise ValueError("value does not fit")
+    digits = []
+    v = x
+    while v:
+        if v & 1:
+            d = 2 - (v & 3)            # +1 if v%4==1, -1 if v%4==3
+            v -= d
+        else:
+            d = 0
+        digits.append(d)
+        v >>= 1
+    digits += [0] * (width + 1 - len(digits))
+    return np.array(digits[::-1], dtype=np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Carry propagation (carry-lookahead via associative scan)
 # ---------------------------------------------------------------------------

@@ -233,9 +233,9 @@ def ec_add(P: Point, Q: Point, p: int) -> Point:
     if x1 == x2:
         if (y1 + y2) % p == 0:
             return None
-        lam = (3 * x1 * x1 + 1) * pow(2 * y1, p - 2, p) % p
+        lam = (3 * x1 * x1 + 1) * pow(2 * y1, -1, p) % p
     else:
-        lam = (y2 - y1) * pow(x2 - x1, p - 2, p) % p
+        lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
     x3 = (lam * lam - x1 - x2) % p
     y3 = (lam * (x1 - x3) - y1) % p
     return (x3, y3)

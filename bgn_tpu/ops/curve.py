@@ -170,10 +170,10 @@ def add_affine(ctx: MontCtx, a: AffinePoint, b: AffinePoint) -> JacPoint:
 
 
 def fixed_base_mul(ctx: MontCtx, table: AffinePoint, digits) -> JacPoint:
-    """base^e via a precomputed radix-16 window table (fixed base).
+    """base^e via a precomputed radix-R window table (fixed base).
 
-    table: AffinePoint with batch shape (J, 16), entry (j, d) = base^(d*16^j)
-    (d = 0 entries are the identity).  digits: uint32 [Jd, *batch] base-16
+    table: AffinePoint with batch shape (J, R), entry (j, d) = base^(d*R^j)
+    (d = 0 entries are the identity).  digits: uint32 [Jd, *batch] base-R
     digits of e, least-significant first, Jd <= J.  Cost: Jd complete mixed
     additions + Jd doublings (for the completeness fallback) versus
     ~key_bits doublings + additions for the generic ladder -- ~4x fewer

@@ -248,14 +248,17 @@ def use_rns(rns) -> bool:
 
 
 def pairing(ctx: MontCtx, a: AffinePoint, b: AffinePoint, n_bits, l_bits,
-            rns=None):
+            rns=None, n_naf=None):
     """Full batched symmetric pairing e(A, B) -> GT [2, L, *batch].
 
     Identity inputs yield 1 (e(O, X) = 1), matching pbc semantics for
-    makeL2 on encryptZero (reference bgn.go:316-321)."""
+    makeL2 on encryptZero (reference bgn.go:316-321).  n_naf: optional
+    signed Miller digits for the RNS path (fewer add-steps; the reduced
+    pairing value is chain-independent, so results are identical)."""
     if use_rns(rns):
         from . import rns_pairing
-        z = rns_pairing.pairing_rns(ctx, rns, a, b, n_bits, l_bits)
+        digits = n_bits if n_naf is None else n_naf
+        z = rns_pairing.pairing_rns(ctx, rns, a, b, digits, l_bits)
     elif _USE_FUSED and 2 * ctx.L + 1 <= 129 and \
             jax.default_backend() == "tpu":
         f = miller_loop_fused(ctx, a, b, n_bits)

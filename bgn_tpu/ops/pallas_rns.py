@@ -277,25 +277,33 @@ def _miller_loop_kernel(rns, nsteps, *refs):
     ax, ay, xb, yb, ofr, ofi, sX, sY, sZ, sfr, sfi = rest
     kc = _kctx(rns, consts)
     axv, ayv, xbv, ybv = ax[:], ay[:], xb[:], yb[:]
+    nayv = rp._neg_coord(kc, ayv)         # -A for signed (NAF) digits
     one = jnp.broadcast_to(kc.one_rns, axv.shape)
-    # V = A (Z = 1), f = 1 at the MSB; leading zero bits are skipped via
+    # V = A (Z = 1), f = 1 at the MSB; leading zero digits are skipped via
     # the start index (same semantics as the started-flag scan)
     sX[:], sY[:], sZ[:] = axv, ayv, one
     sfr[:], sfi[:] = one, jnp.zeros_like(one)
+
+    def _add_with(yv):
+        st2 = rp._add_step(kc, sX[:], sY[:], sZ[:], sfr[:], sfi[:],
+                           rp._pt(axv), rp._pt(yv),
+                           rp._pt(xbv), rp._pt(ybv))
+        sX[:], sY[:], sZ[:], sfr[:], sfi[:] = st2
 
     def body(i, carry):
         st = rp._dbl_step(kc, sX[:], sY[:], sZ[:], sfr[:], sfi[:],
                           rp._pt(xbv), rp._pt(ybv))
         sX[:], sY[:], sZ[:], sfr[:], sfi[:] = st
 
-        # the final addition (V = -A, vertical line) is elided:
+        # the final addition (V = -+A, vertical line) is elided:
         # denominator elimination, see ops/pairing.py docstring
         @pl.when(jnp.logical_and(bits_ref[i] > 0, i < nsteps - 1))
         def _add():
-            st2 = rp._add_step(kc, sX[:], sY[:], sZ[:], sfr[:], sfi[:],
-                               rp._pt(axv), rp._pt(ayv),
-                               rp._pt(xbv), rp._pt(ybv))
-            sX[:], sY[:], sZ[:], sfr[:], sfi[:] = st2
+            _add_with(ayv)
+
+        @pl.when(jnp.logical_and(bits_ref[i] < 0, i < nsteps - 1))
+        def _add_neg():
+            _add_with(nayv)
 
         return carry
 
@@ -303,14 +311,15 @@ def _miller_loop_kernel(rns, nsteps, *refs):
     ofr[:], ofi[:] = sfr[:], sfi[:]
 
 
-def miller_loop_whole_pallas(rns: RNSCtx, ax, ay, xb, yb, bits,
+def miller_loop_whole_pallas(rns: RNSCtx, ax, ay, xb, yb, digits,
                              interpret: bool = False):
     """The full Miller loop in one kernel.  ax/ay/xb/yb: [2k, N] residues
-    (bound 3); bits: [nbits] MSB-first shared exponent.  Returns (fr, fi)
-    with the _BF bound invariant."""
-    bits_i = bits.astype(jnp.int32)
-    start = jnp.argmax(bits_i).astype(jnp.int32).reshape(1)
-    kernel = functools.partial(_miller_loop_kernel, rns, bits.shape[0])
+    (bound 3); digits: [nd] MSB-first shared exponent -- plain bits or
+    signed NAF (first nonzero digit +1).  Returns (fr, fi) with the _BF
+    bound invariant."""
+    bits_i = digits.astype(jnp.int32)
+    start = jnp.argmax(bits_i != 0).astype(jnp.int32).reshape(1)
+    kernel = functools.partial(_miller_loop_kernel, rns, digits.shape[0])
     return _loop_call(rns, kernel, (bits_i, start), (ax, ay, xb, yb), 2, 5,
                       interpret)
 
@@ -321,7 +330,13 @@ def _ladder_loop_kernel(rns, nsteps, *refs):
     x, y, z, ax, ay, ox, oy, oz, sX, sY, sZ = rest
     kc = _kctx(rns, consts)
     axv, ayv = ax[:], ay[:]
+    nayv = rp._neg_coord(kc, ayv)         # -A for signed (NAF) digits
     sX[:], sY[:], sZ[:] = x[:], y[:], z[:]
+
+    def _add_with(yv):
+        st2 = rp._add_pt(kc, sX[:], sY[:], sZ[:],
+                         rp._pt(axv), rp._pt(yv))
+        sX[:], sY[:], sZ[:] = st2
 
     def body(i, carry):
         st = rp._dbl_pt(kc, sX[:], sY[:], sZ[:])
@@ -329,9 +344,11 @@ def _ladder_loop_kernel(rns, nsteps, *refs):
 
         @pl.when(bits_ref[i] > 0)
         def _add():
-            st2 = rp._add_pt(kc, sX[:], sY[:], sZ[:],
-                             rp._pt(axv), rp._pt(ayv))
-            sX[:], sY[:], sZ[:] = st2
+            _add_with(ayv)
+
+        @pl.when(bits_ref[i] < 0)
+        def _add_neg():
+            _add_with(nayv)
 
         return carry
 
@@ -339,12 +356,13 @@ def _ladder_loop_kernel(rns, nsteps, *refs):
     ox[:], oy[:], oz[:] = sX[:], sY[:], sZ[:]
 
 
-def ladder_loop_pallas(rns: RNSCtx, X, Y, Z, ax, ay, bits,
+def ladder_loop_pallas(rns: RNSCtx, X, Y, Z, ax, ay, digits,
                        interpret: bool = False):
-    """Double-and-add ladder over bits (all consumed; the caller strips
-    the leading 1 and passes the start state), one kernel."""
-    bits_i = bits.astype(jnp.int32)
-    kernel = functools.partial(_ladder_loop_kernel, rns, bits.shape[0])
+    """Double-and-add ladder over MSB-first digits (plain bits or signed
+    NAF; all consumed -- the caller strips the leading +1 and passes the
+    start state), one kernel."""
+    bits_i = digits.astype(jnp.int32)
+    kernel = functools.partial(_ladder_loop_kernel, rns, digits.shape[0])
     return _loop_call(rns, kernel, (bits_i,), (X, Y, Z, ax.v, ay.v), 3, 3,
                       interpret)
 
@@ -388,8 +406,17 @@ def _fp2_pow_loop_kernel(rns, nsteps, *refs):
     xr, xi, owr, owi, sar, sai = rest
     kc = _kctx(rns, consts)
     xrv, xiv = xr[:], xi[:]
+    # conj(x) for signed digits (x is unitary at every signed-digit call
+    # site: see fp2_pow_rns): negate im, value 10p - xi, bound 10
+    t = kc.kp[:, 10:11] - xiv
+    nxiv = jnp.where(t < 0, t + kc.m, t)
     sar[:] = jnp.broadcast_to(kc.one_rns, xrv.shape)
     sai[:] = jnp.zeros_like(xrv)
+
+    def _mul_with(xivv):
+        mu = rp._fp2_mul(kc, (RVal(sar[:], 9), RVal(sai[:], 9)),
+                         (RVal(xrv, 9), RVal(xivv, 10)))
+        sar[:], sai[:] = mu[0].v, mu[1].v
 
     def body(i, carry):
         sq = rp._fp2_sqr(kc, (RVal(sar[:], 9), RVal(sai[:], 9)))
@@ -397,9 +424,11 @@ def _fp2_pow_loop_kernel(rns, nsteps, *refs):
 
         @pl.when(bits_ref[i] > 0)
         def _mul():
-            mu = rp._fp2_mul(kc, (RVal(sar[:], 9), RVal(sai[:], 9)),
-                             (RVal(xrv, 9), RVal(xiv, 10)))
-            sar[:], sai[:] = mu[0].v, mu[1].v
+            _mul_with(xiv)
+
+        @pl.when(bits_ref[i] < 0)
+        def _mul_conj():
+            _mul_with(nxiv)
 
         return carry
 
@@ -407,10 +436,12 @@ def _fp2_pow_loop_kernel(rns, nsteps, *refs):
     owr[:], owi[:] = sar[:], sai[:]
 
 
-def fp2_pow_loop_pallas(rns: RNSCtx, xr, xi, bits, interpret: bool = False):
-    """(xr + xi*i)^e in F_p^2 over all bits, one kernel."""
-    bits_i = bits.astype(jnp.int32)
-    kernel = functools.partial(_fp2_pow_loop_kernel, rns, bits.shape[0])
+def fp2_pow_loop_pallas(rns: RNSCtx, xr, xi, digits,
+                        interpret: bool = False):
+    """(xr + xi*i)^e in F_p^2 over all MSB-first digits, one kernel;
+    signed digits multiply by the conjugate (unitary x only)."""
+    bits_i = digits.astype(jnp.int32)
+    kernel = functools.partial(_fp2_pow_loop_kernel, rns, digits.shape[0])
     return _loop_call(rns, kernel, (bits_i,), (xr, xi), 2, 2, interpret)
 
 

@@ -58,6 +58,17 @@ def _pt(v):
     return RVal(v, 3)
 
 
+def _neg_coord(rns, v):
+    """Residues of (3p - value) for a bound-3 coordinate array: the
+    y-coordinate of the negated point, still bound 3 (value in (0, 3p)).
+    Works on raw [2k, *batch] arrays, inside or outside kernels."""
+    bshape = (1,) * (v.ndim - 1)
+    kp3 = rns.kp[:, 3].reshape((-1,) + bshape)
+    m = rns.m.reshape((-1,) + bshape)
+    t = kp3 - v
+    return jnp.where(t < 0, t + m, t)
+
+
 def _dbl_step(rns: RNSCtx, X, Y, Z, fr, fi, xb, yb):
     """Fused Jacobian doubling + tangent line + f <- f^2 * line.
 
@@ -209,16 +220,16 @@ def _add_pt(rns: RNSCtx, X1, Y1, Z1, ax, ay):
 
 
 def make_rns_window_table(ctx: MontCtx, rns: RNSCtx, table):
-    """Limb-domain fixed-base window table (AffinePoint [L, J, 16]) ->
-    RNS residues ([2k, J, 16] x, y) for fixed_base_mul_rns.  Runs once at
+    """Limb-domain fixed-base window table (AffinePoint [L, J, R]) ->
+    RNS residues ([2k, J, R] x, y) for fixed_base_mul_rns.  Runs once at
     key build; identity entries (digit 0) keep garbage residues and are
     masked by the table's inf flags during the ladder."""
     L = ctx.L
-    J = table.x.shape[1]
-    x = rn.to_rns_mont(rns, table.x.reshape(L, J * 16))
-    y = rn.to_rns_mont(rns, table.y.reshape(L, J * 16))
+    J, R = table.x.shape[1], table.x.shape[2]
+    x = rn.to_rns_mont(rns, table.x.reshape(L, J * R))
+    y = rn.to_rns_mont(rns, table.y.reshape(L, J * R))
     ch = x.v.shape[0]
-    return (x.v.reshape(ch, J, 16), y.v.reshape(ch, J, 16))
+    return (x.v.reshape(ch, J, R), y.v.reshape(ch, J, R))
 
 
 def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
@@ -305,14 +316,16 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
     return JacPoint(Xl, Yl, Zl)
 
 
-def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
+def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits):
     """base^e in G1 via an RNS double-and-add ladder; e = shared MSB-first
-    bits with bits[0] == 1 (the decrypt exponent q1, bgn.go:222-223).
+    digits -- plain bits or signed NAF, first digit == 1 (the decrypt
+    exponent q1, bgn.go:222-223).
 
     base: limb-Montgomery AffinePoint; returns a limb-Montgomery JacPoint
     with the same coordinates as ops/curve.py:scalar_mul on every input
     where no degenerate addition occurs (identity bases are fixed up by a
-    final select, exactly like curve.scalar_mul)."""
+    final select, exactly like curve.scalar_mul; the NAF chain is vetted
+    at keygen by scheme._chain_degenerate)."""
     from .curve import JacPoint
     batch_shape = base.x.shape[1:]
     flat = 1
@@ -331,8 +344,9 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
     if kind == "loop":
         from . import pallas_rns
         X, Y, Z = pallas_rns.ladder_loop_pallas(
-            rns, X0, Y0, Z0, ax, ay, bits[1:], interpret=interp)
+            rns, X0, Y0, Z0, ax, ay, digits[1:], interpret=interp)
     else:
+        nay = _pt(_neg_coord(rns, ay.v))
         if kind == "step":
             from . import pallas_rns
 
@@ -343,6 +357,10 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
             def maddp(*s):
                 return tuple(pallas_rns.pt_add_pallas(rns, *s, ax, ay,
                                                       interpret=interp))
+
+            def maddn(*s):
+                return tuple(pallas_rns.pt_add_pallas(rns, *s, ax, nay,
+                                                      interpret=interp))
         else:
             def dblp(*s):
                 return _dbl_pt(rns, *s)
@@ -350,13 +368,18 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
             def maddp(*s):
                 return _add_pt(rns, *s, ax, ay)
 
-        def step(carry, bit):
+            def maddn(*s):
+                return _add_pt(rns, *s, ax, nay)
+
+        def step(carry, d):
             s1 = dblp(*carry)
-            s2 = jax.lax.cond(bit.astype(bool), lambda s: maddp(*s),
-                              lambda s: s, s1)
+            s2 = jax.lax.switch(
+                d.astype(jnp.int32) + 1,
+                [lambda s: maddn(*s), lambda s: s, lambda s: maddp(*s)],
+                s1)
             return s2, None
 
-        (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), bits[1:])
+        (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), digits[1:])
 
     Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
     Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
@@ -366,17 +389,22 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
     return JacPoint(Xl, Yl, Zl)
 
 
-def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, bits):
+def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, digits, unitary=False):
     """z^e for GT elements (limb [2, L, *batch] in/out) with the
     square-and-multiply scan in RNS (same contract as fp2.pow_bits for
-    shared MSB-first exponents; the L2 decrypt csk = c^q1 path)."""
+    shared MSB-first exponents; the L2 decrypt csk = c^q1 path).
+
+    unitary=True: z has norm 1 (every reduced pairing value / L2
+    ciphertext does), so z^-1 = conj(z) and `digits` may be signed NAF;
+    negative digits multiply by the conjugate."""
     batch_shape = z.shape[2:]
     flat = 1
     for s in batch_shape:
         flat *= s
     zr = rn.to_rns_mont(rns, z[0].reshape(ctx.L, flat))
     zi = rn.to_rns_mont(rns, z[1].reshape(ctx.L, flat))
-    wr, wi = _fp2_pow_bits(rns, (RVal(zr.v, 9), RVal(zi.v, 9)), bits)
+    wr, wi = _fp2_pow_bits(rns, (RVal(zr.v, 9), RVal(zi.v, 9)), digits,
+                           unitary=unitary)
     out_re = rn.from_rns_mont(rns, wr).reshape((ctx.L,) + batch_shape)
     out_im = rn.from_rns_mont(rns, wi).reshape((ctx.L,) + batch_shape)
     return jnp.stack([out_re, out_im], axis=0)
@@ -452,8 +480,9 @@ def _fp2_inv(rns, x, pm2_bits):
     return rn.r_mul(rns, a, ninv), rn.r_mul(rns, nb, ninv)
 
 
-def _fp2_pow_bits(rns, x, bits):
-    """x^e for an F_p^2 element; e as shared MSB-first bits."""
+def _fp2_pow_bits(rns, x, digits, unitary=False):
+    """x^e for an F_p^2 element; e as shared MSB-first digits (plain bits,
+    or signed NAF when unitary=True: x^-1 = conj(x))."""
     xr, xi = x
     assert xr.bound <= 9 and xi.bound <= 10, (xr.bound, xi.bound)
     one = rn.r_one(rns, xr.v.shape[1:])
@@ -462,27 +491,59 @@ def _fp2_pow_bits(rns, x, bits):
     if kind == "loop":
         from . import pallas_rns
         ar, ai = pallas_rns.fp2_pow_loop_pallas(
-            rns, xr.v, xi.v, bits, interpret=interp)
+            rns, xr.v, xi.v, digits, interpret=interp)
         return RVal(ar, 9), RVal(ai, 9)
+    # conj(x): negate the imaginary part (value 10p - xi, bound 10)
+    bshape = (1,) * (xi.v.ndim - 1)
+    kp10 = rns.kp[:, 10].reshape((-1,) + bshape)
+    m = rns.m.reshape((-1,) + bshape)
+    t = kp10 - xi.v
+    nxi = RVal(jnp.where(t < 0, t + m, t), 10)
     if kind == "step":
         from . import pallas_rns
 
-        def step(acc, bit):
+        def _mul_by(xiv):
+            def f(acc):
+                return tuple(pallas_rns.fp2_pow_step_pallas(
+                    rns, acc[0], acc[1], xr.v, xiv, jnp.int32(1),
+                    interpret=interp))
+            return f
+
+        def _sqr_only(acc):
             return tuple(pallas_rns.fp2_pow_step_pallas(
-                rns, acc[0], acc[1], xr.v, xi.v, bit,
-                interpret=interp)), None
+                rns, acc[0], acc[1], xr.v, xi.v, jnp.int32(0),
+                interpret=interp))
+
+        def step(acc, d):
+            di = d.astype(jnp.int32)
+            if not unitary:
+                return tuple(pallas_rns.fp2_pow_step_pallas(
+                    rns, acc[0], acc[1], xr.v, xi.v, jnp.maximum(di, 0),
+                    interpret=interp)), None
+            return jax.lax.switch(
+                di + 1, [_mul_by(nxi.v), _sqr_only, _mul_by(xi.v)],
+                acc), None
     else:
-        def step(acc, bit):
+        def _mul_branch(xarg):
+            def f(sq):
+                mu = _fp2_mul(rns, (RVal(sq[0], 9), RVal(sq[1], 9)), xarg)
+                assert mu[0].bound <= 9 and mu[1].bound <= 9
+                return mu[0].v, mu[1].v
+            return f
+
+        def step(acc, d):
             a = (RVal(acc[0], 9), RVal(acc[1], 9))
             sq = _fp2_sqr(rns, a)
-            mu = _fp2_mul(rns, sq, (xr, xi))
             assert sq[0].bound <= 9 and sq[1].bound <= 9
-            assert mu[0].bound <= 9 and mu[1].bound <= 9
-            sel = bit.astype(bool)
-            return (jnp.where(sel, mu[0].v, sq[0].v),
-                    jnp.where(sel, mu[1].v, sq[1].v)), None
+            sqv = (sq[0].v, sq[1].v)
+            di = d.astype(jnp.int32)
+            return jax.lax.switch(
+                di + 1,
+                [_mul_branch((xr, nxi)), lambda s: s,
+                 _mul_branch((xr, xi))],
+                sqv), None
 
-    acc, _ = jax.lax.scan(step, acc0, bits)
+    acc, _ = jax.lax.scan(step, acc0, digits)
     return RVal(acc[0], 9), RVal(acc[1], 9)
 
 
@@ -495,8 +556,14 @@ def final_exponentiation_rns(ctx: MontCtx, rns: RNSCtx, f, l_bits):
 
 
 def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
-                  b: AffinePoint, n_bits):
-    """Miller function value as RNS RVals (f_re, f_im), flat batch."""
+                  b: AffinePoint, n_digits):
+    """Miller function value as RNS RVals (f_re, f_im), flat batch.
+
+    n_digits: MSB-first exponent digits -- plain bits (uint {0,1}) or
+    signed NAF digits ({-1,0,1}); the first nonzero digit must be +1.
+    Negative digits add -A (line through V and -A); the REDUCED pairing
+    value is chain-independent, so both encodings agree after the final
+    exponentiation."""
     batch_shape = jnp.broadcast_shapes(a.x.shape[1:], b.x.shape[1:])
     L = ctx.L
     flat = 1
@@ -520,8 +587,9 @@ def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
     if kind == "loop":
         from . import pallas_rns
         fr, fi = pallas_rns.miller_loop_whole_pallas(
-            rns, X0, Y0, xb.v, yb.v, n_bits, interpret=interp)
+            rns, X0, Y0, xb.v, yb.v, n_digits, interpret=interp)
         return (RVal(fr, _BF), RVal(fi, _BF)), batch_shape
+    nay = _pt(_neg_coord(rns, ay.v))
     if kind == "step":
         from . import pallas_rns
 
@@ -532,6 +600,10 @@ def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
         def madd(*s):
             return tuple(pallas_rns.add_step_pallas(
                 rns, *s, ax, ay, xb, yb, interpret=interp))
+
+        def madd_neg(*s):
+            return tuple(pallas_rns.add_step_pallas(
+                rns, *s, ax, nay, xb, yb, interpret=interp))
     else:
         def dbl(*s):
             return _dbl_step(rns, *s, xb, yb)
@@ -539,27 +611,33 @@ def _miller_f_rns(ctx: MontCtx, rns: RNSCtx, a: AffinePoint,
         def madd(*s):
             return _add_step(rns, *s, ax, ay, xb, yb)
 
-    def step(carry, bit):
+        def madd_neg(*s):
+            return _add_step(rns, *s, ax, nay, xb, yb)
+
+    def step(carry, d):
         X, Y, Z, fr, fi, started = carry
-        bit_b = bit.astype(bool)
+        d = d.astype(jnp.int32)
 
         def not_started(c):
             X, Y, Z, fr, fi, _ = c
             return (X, Y, Z, fr, fi,
-                    jnp.where(bit_b, jnp.uint32(1), jnp.uint32(0)))
+                    jnp.where(d != 0, jnp.uint32(1), jnp.uint32(0)))
 
         def normal(c):
             X, Y, Z, fr, fi, st = c
             s1 = dbl(X, Y, Z, fr, fi)
-            s2 = jax.lax.cond(
-                bit_b, lambda s: madd(*s), lambda s: s, s1)
+            s2 = jax.lax.switch(
+                d + 1,
+                [lambda s: madd_neg(*s), lambda s: s, lambda s: madd(*s)],
+                s1)
             return s2 + (st,)
 
         return jax.lax.cond(started.astype(bool), normal, not_started,
                             carry), None
 
     carry0 = (X0, Y0, Z0, f0, fi0, jnp.uint32(0))
-    (X, Y, Z, fr, fi, started), _ = jax.lax.scan(step, carry0, n_bits[:-1])
+    (X, Y, Z, fr, fi, started), _ = jax.lax.scan(step, carry0,
+                                                 n_digits[:-1])
 
     def tail_started(c):
         X, Y, Z, fr, fi = c

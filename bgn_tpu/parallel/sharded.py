@@ -252,7 +252,7 @@ def decrypt_gt_sharded(pk, sk, tables, ct, mesh):
     range is split over the mesh.  One scan covers both the positive and
     the negative lane (reference decrypt order, bgn.go:235-242)."""
     ctx = pk.dev.ctx
-    csk = _csk_gt(pk.dev, sk.q1_bits, ct.data)
+    csk = _csk_gt(pk.dev, sk.q1_bits, ct.data, getattr(sk, "q1_naf", None))
     best = _bsgs_gt_sharded(ctx, tables.table_gt, tables.gamma_inv_gt,
                             csk, mesh, tables.bound)
     is_zero = fp2.is_one(ctx, csk).astype(bool)
@@ -264,7 +264,7 @@ def decrypt_g1_sharded(pk, sk, tables, ct, mesh):
     """Sharded L1 decryption (the reference's getDL also serves G1,
     gsbs.go:54-106): csk = C^q1 then the giant-step-sharded scan."""
     ctx = pk.dev.ctx
-    csk = _csk_g1(pk.dev, sk.q1_bits, ct.data)
+    csk = _csk_g1(pk.dev, sk.q1_bits, ct.data, getattr(sk, "q1_naf", None))
     best = _bsgs_g1_sharded(ctx, tables.table_g1, tables.gamma_inv_g1,
                             csk, mesh, tables.bound)
     is_zero = lb.is_zero(csk.Z).astype(bool)
@@ -273,18 +273,21 @@ def decrypt_g1_sharded(pk, sk, tables, ct, mesh):
 
 
 @jax.jit
-def _csk_gt(dev, q1_bits, z):
+def _csk_gt(dev, q1_bits, z, q1_naf=None):
     from ..ops import pairing as pairing_mod
     if pairing_mod.use_rns(dev.rns):
         from ..ops import rns_pairing
-        return rns_pairing.fp2_pow_rns(dev.ctx, dev.rns, z, q1_bits)
+        digits = q1_bits if q1_naf is None else q1_naf
+        return rns_pairing.fp2_pow_rns(dev.ctx, dev.rns, z, digits,
+                                       unitary=True)
     return fp2.pow_bits(dev.ctx, z, q1_bits)
 
 
 @jax.jit
-def _csk_g1(dev, q1_bits, pt):
+def _csk_g1(dev, q1_bits, pt, q1_naf=None):
     from ..ops import pairing as pairing_mod
     if pairing_mod.use_rns(dev.rns):
         from ..ops import rns_pairing
-        return rns_pairing.scalar_mul_rns(dev.ctx, dev.rns, pt, q1_bits)
+        digits = q1_bits if q1_naf is None else q1_naf
+        return rns_pairing.scalar_mul_rns(dev.ctx, dev.rns, pt, digits)
     return cv.scalar_mul(dev.ctx, pt, q1_bits)

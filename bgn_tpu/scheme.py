@@ -62,12 +62,14 @@ class PublicDeviceKey:
     P: cv.AffinePoint       # generator of G1, scalar batch ()
     Q: cv.AffinePoint       # generator of the order-q1 subgroup
     n_bits: jax.Array       # [key_bits] bits of n, MSB first (Miller loop)
+    n_naf: jax.Array        # signed NAF digits of n, MSB first (RNS Miller
+                            #   loop: ~1/3 the add-steps of n_bits)
     l_bits: jax.Array       # [32] bits of the cofactor l (final exp)
     pair_qq: jax.Array      # [2, L] e(Q, Q) (L2 re-randomization)
     gt_gen: jax.Array       # [2, L] e(P, P)
-    p_win: cv.AffinePoint   # radix-16 window table of P, batch (J, 16)
-    q_win: cv.AffinePoint   # radix-16 window table of Q
-    p_win_rns: Any          # RNS residues of p_win ([2k,J,16] x, y) or None
+    p_win: cv.AffinePoint   # radix-2^w window table of P, batch (J, R)
+    q_win: cv.AffinePoint   # radix-2^w window table of Q
+    p_win_rns: Any          # RNS residues of p_win ([2k,J,R] x, y) or None
     q_win_rns: Any          # RNS residues of q_win, or None
 
 
@@ -276,6 +278,9 @@ class BGNSecretKey:
         self.poly_base = poly_base
         nb = a1_params.q1.bit_length()
         self.q1_bits = jnp.asarray(lb.int_to_bits(a1_params.q1, nb))
+        self.q1_naf = _exp_digits(
+            a1_params.q1, nb,
+            (a1_params.q1, a1_params.q2, a1_params.n))
 
     # -- decryption ---------------------------------------------------------
 
@@ -299,10 +304,10 @@ class BGNSecretKey:
         """Returns (values int64 [batch], ok bool [batch])."""
         if ct.level2:
             found, m = _decrypt_l2_kernel(pk.dev, tables, self.q1_bits,
-                                          ct.data)
+                                          ct.data, self.q1_naf)
         else:
             found, m = _decrypt_l1_kernel(pk.dev, tables, self.q1_bits,
-                                          ct.data)
+                                          ct.data, self.q1_naf)
         return (np.atleast_1d(np.asarray(m, dtype=np.int64)),
                 np.atleast_1d(np.asarray(found)).astype(bool))
 
@@ -375,6 +380,8 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
         P=convert.point_from_host(ctx, gk.P),
         Q=convert.point_from_host(ctx, gk.Q),
         n_bits=jnp.asarray(lb.int_to_bits(params.n, key_bits)),
+        n_naf=_exp_digits(params.n, key_bits,
+                          (params.q1, params.q2, params.n)),
         l_bits=jnp.asarray(lb.int_to_bits(params.l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
@@ -418,7 +425,11 @@ def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
         rns=rns,
         P=convert.point_from_host(ctx, P_host),
         Q=convert.point_from_host(ctx, Q_host),
+        # public view has no q1/q2: the chain check runs mod n only (the
+        # subgroup-order events it cannot see are ~2^-240 per key; keygen
+        # checked them when this key was made)
         n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
+        n_naf=_exp_digits(n, key_bits, (n,)),
         l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
@@ -450,7 +461,8 @@ def _make_rns(p: int, L: int):
         return None
 
 
-_WINDOW_BITS = 4
+_WINDOW_BITS = 8
+_WINDOW_RADIX = 1 << _WINDOW_BITS
 
 
 def _win_rns(ctx, rns, table):
@@ -463,18 +475,23 @@ def _win_rns(ctx, rns, table):
 
 
 def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
-    """Host-side radix-16 fixed-base table: entry (j, d) = base^(d*16^j).
+    """Host-side radix-2^w fixed-base table: entry (j, d) = base^(d*R^j),
+    R = _WINDOW_RADIX.
 
     The reference has no analog (PBC recomputes scalar mults each call);
     this is the TPU-side answer to encryption's Q^r ladder being as
-    expensive as a pairing (docs/PERF.md)."""
+    expensive as a pairing (docs/PERF.md).  Radix 256 halves the ladder's
+    mixed additions vs radix 16 at the cost of a larger (still small)
+    table; the host build is ~J*R ec_adds (~0.5s at 512-bit keys with the
+    gcd-based inverse in hm.ec_add)."""
+    R = _WINDOW_RADIX
     J = -(-key_bits // _WINDOW_BITS)
     rows = []
     gen = base
     for _ in range(J):
         acc = None
         row = [None]
-        for _ in range(15):
+        for _ in range(R - 1):
             acc = hm.ec_add(acc, gen, p)
             row.append(acc)
         rows.extend(row)
@@ -482,22 +499,30 @@ def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
             gen = hm.ec_dbl(gen, p)
     ap = convert.affine_from_host(ctx, rows)
     L = ctx.L
-    return cv.AffinePoint(ap.x.reshape(L, J, 16), ap.y.reshape(L, J, 16),
-                          ap.inf.reshape(J, 16))
+    return cv.AffinePoint(ap.x.reshape(L, J, R), ap.y.reshape(L, J, R),
+                          ap.inf.reshape(J, R))
 
 
 def _signed_digits(values, n: int):
-    """Host ints -> (radix-16 digits [J, B] uint32 of |v| mod n,
+    """Host ints -> (radix-2^w digits [J, B] uint32 of |v| mod n,
     neg mask [B]).  J is bucketed like _bits_width for jit-cache reuse."""
     values = [int(v) for v in np.atleast_1d(np.asarray(values, dtype=object))]
     neg = np.asarray([1 if v < 0 else 0 for v in values], dtype=np.uint32)
     mags = [abs(v) % n for v in values]
     nbits = min(_bits_width(mags), n.bit_length())
     J = -(-nbits // _WINDOW_BITS)
-    digits = np.zeros((J, len(mags)), dtype=np.uint32)
-    for b, v in enumerate(mags):
-        for j in range(J):
-            digits[j, b] = (v >> (_WINDOW_BITS * j)) & 0xF
+    if _WINDOW_BITS == 8:
+        # vectorized: one byte per digit (the J*B python loop costs more
+        # than the device ladder at batch 2048)
+        buf = b"".join(v.to_bytes(J, "little") for v in mags)
+        digits = np.frombuffer(buf, dtype=np.uint8) \
+            .reshape(len(mags), J).T.astype(np.uint32)
+    else:
+        mask = _WINDOW_RADIX - 1
+        digits = np.zeros((J, len(mags)), dtype=np.uint32)
+        for b, v in enumerate(mags):
+            for j in range(J):
+                digits[j, b] = (v >> (_WINDOW_BITS * j)) & mask
     return jnp.asarray(digits), neg
 
 
@@ -534,13 +559,68 @@ def _bits_width(values) -> int:
     return w
 
 
+def _chain_degenerate(digits, mods) -> bool:
+    """True if the MSB-first signed-digit double-and-add chain hits a
+    degenerate mixed addition for a base point whose order divides one of
+    `mods`: V == addend anywhere (the incomplete add would return the
+    identity instead of 2V), or V == -addend before the final step (the
+    identity result then feeds later incomplete steps).  The final-step
+    vertical is allowed: the decrypt ladder lands on Z == 0 == identity
+    correctly and the Miller loop elides it (denominator elimination).
+    See ops/rns_pairing.py:_add_pt."""
+    started = False
+    c = 0
+    nz = [i for i, d in enumerate(digits) if d]
+    last = nz[-1] if nz else -1
+    for i, d in enumerate(digits):
+        d = int(d)
+        if not started:
+            if d:
+                started = True
+                c = d
+            continue
+        c *= 2
+        if d:
+            for ordc in mods:
+                if ordc <= 1:
+                    continue
+                if (c - d) % ordc == 0:
+                    return True
+                if (c + d) % ordc == 0 and i != last:
+                    return True
+            c += d
+    return False
+
+
+def _exp_digits(e: int, width: int, mods):
+    """Signed MSB-first ladder digits for exponent e: NAF (ops do ~1/3
+    the additions of plain bits) when the chain is safe for every point
+    order in `mods`, else plain bits.  Leading zeros stripped so
+    digits[0] == 1 (the ladder-init contract of scalar_mul_rns /
+    _miller_f_rns)."""
+    naf = lb.int_to_naf(e, width)
+    if not _chain_degenerate(naf, mods):
+        digits = naf
+    else:  # pragma: no cover -- probability ~2^-240 per key
+        digits = lb.int_to_bits(e, width).astype(np.int32)
+        if _chain_degenerate(digits, mods):
+            raise ValueError("degenerate addition chain; regenerate key")
+    nz = np.nonzero(digits)[0]
+    return jnp.asarray(digits[nz[0]:] if nz.size else digits[-1:])
+
+
 def _signed_bits(values, n: int):
     """Host ints -> (bits [nbits, B] MSB-first of |v| mod n, neg mask [B])."""
     values = [int(v) for v in np.atleast_1d(np.asarray(values, dtype=object))]
     neg = np.asarray([1 if v < 0 else 0 for v in values], dtype=np.uint32)
     mags = [abs(v) % n for v in values]
     nbits = min(_bits_width(mags), n.bit_length())
-    bits = np.stack([lb.int_to_bits(v, nbits) for v in mags], axis=1)
+    nbytes = -(-nbits // 8)
+    buf = b"".join(v.to_bytes(nbytes, "big") for v in mags)
+    arr = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(len(mags), nbytes),
+        axis=1)
+    bits = arr[:, 8 * nbytes - nbits:].T.astype(np.uint32)
     return jnp.asarray(bits), neg
 
 
@@ -561,13 +641,15 @@ def _const_list(ks, batch_shape):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _device_r_digits(sampler_ctx, key, batch: int, J: int):
-    """Device-sampled exponents as radix-16 window digits [J, batch]."""
+    """Device-sampled exponents as radix-2^w window digits [J, batch]."""
     from .utils import rng as rng_mod
     r = rng_mod.device_random_below(sampler_ctx, key, (batch,))  # [L', B]
-    nl = -(-J // 4)
+    per = 16 // _WINDOW_BITS            # digits per 16-bit limb
+    nl = -(-J // per)
     limbs = r[:nl]
-    parts = [(limbs >> (4 * i)) & jnp.uint32(0xF) for i in range(4)]
-    digits = jnp.stack(parts, axis=1).reshape(4 * nl, batch)
+    mask = jnp.uint32(_WINDOW_RADIX - 1)
+    parts = [(limbs >> (_WINDOW_BITS * i)) & mask for i in range(per)]
+    digits = jnp.stack(parts, axis=1).reshape(per * nl, batch)
     return digits[:J]
 
 
@@ -625,13 +707,13 @@ def _sub_l2_kernel(dev, a, b):
 @jax.jit
 def _mult_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
     return pairing_mod.pairing(dev.ctx, a, b, dev.n_bits, dev.l_bits,
-                               rns=dev.rns)
+                               rns=dev.rns, n_naf=dev.n_naf)
 
 
 @jax.jit
 def _make_l2_kernel(dev, a: cv.AffinePoint):
     return pairing_mod.pairing(dev.ctx, a, dev.P, dev.n_bits, dev.l_bits,
-                               rns=dev.rns)
+                               rns=dev.rns, n_naf=dev.n_naf)
 
 
 @jax.jit
@@ -664,22 +746,28 @@ def _rerand_l2_kernel(dev, z, r_bits):
 
 
 @jax.jit
-def _decrypt_l1_kernel(dev, tables, q1_bits, pt: cv.AffinePoint):
+def _decrypt_l1_kernel(dev, tables, q1_bits, pt: cv.AffinePoint,
+                       q1_naf=None):
     ctx = dev.ctx
     if pairing_mod.use_rns(dev.rns):
         from .ops import rns_pairing
-        csk = rns_pairing.scalar_mul_rns(ctx, dev.rns, pt, q1_bits)
+        digits = q1_bits if q1_naf is None else q1_naf
+        csk = rns_pairing.scalar_mul_rns(ctx, dev.rns, pt, digits)
     else:
         csk = cv.scalar_mul(ctx, pt, q1_bits)        # C^q1 (bgn.go:223)
     return bsgs_mod.bsgs_g1(ctx, tables, csk)
 
 
 @jax.jit
-def _decrypt_l2_kernel(dev, tables, q1_bits, z):
+def _decrypt_l2_kernel(dev, tables, q1_bits, z, q1_naf=None):
     ctx = dev.ctx
     if pairing_mod.use_rns(dev.rns):
         from .ops import rns_pairing
-        csk = rns_pairing.fp2_pow_rns(ctx, dev.rns, z, q1_bits)
+        # L2 ciphertexts are reduced pairing values: unitary (norm 1), so
+        # the signed-digit chain may take inverses by conjugation
+        digits = q1_bits if q1_naf is None else q1_naf
+        csk = rns_pairing.fp2_pow_rns(ctx, dev.rns, z, digits,
+                                      unitary=True)
     else:
         csk = fp2.pow_bits(ctx, z, q1_bits)          # c^q1
     return bsgs_mod.bsgs_gt(ctx, tables, csk)

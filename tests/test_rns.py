@@ -217,9 +217,9 @@ def test_rns_loop_kernels_match_xla(monkeypatch):
 
     # fixed-base window ladder (the encrypt core), incl. e = 0 and
     # identity-first-window lanes
-    J = dev.p_win.x.shape[1]
+    J, R = dev.p_win.x.shape[1], dev.p_win.x.shape[2]
     drng = np.random.default_rng(9)
-    digits = drng.integers(0, 16, size=(J, 6), dtype=np.uint32)
+    digits = drng.integers(0, R, size=(J, 6), dtype=np.uint32)
     digits[:, 3] = 0
     digits[0, 2] = 0
     dj = jnp.asarray(digits)

@@ -211,7 +211,7 @@ def main():
     rp._PALLAS_MODE = "loop"
     n_lad_rmul = (nbits - 1) * (RMUL["pt_dbl"] + RMUL["pt_add"] // 2)
     t = timeit(lambda: _decrypt_l1_kernel(dev, tables, sk.q1_bits,
-                                          a.data)[1],
+                                          a.data, sk.q1_naf)[1],
                lambda o: np.asarray(o).sum(), iters=4)
     rows.append(Row("L1 decrypt (ladder+BSGS)", t, B, n_lad_rmul,
                     2 * L * B * f32, "BSGS scan adds ~33 limb madds"))
