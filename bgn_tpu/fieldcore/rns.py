@@ -434,6 +434,50 @@ def r_zero(rns: RNSCtx, batch_shape=()) -> RVal:
     return RVal(jnp.zeros((2 * rns.k,) + tuple(batch_shape), jnp.float32), 1)
 
 
+def r_pow_bits(rns: RNSCtx, x: RVal, bits) -> RVal:
+    """x^e in F_p, e as MSB-first bits; plain XLA square-and-multiply scan
+    (used where the ops-layer Pallas pow chains are not in scope)."""
+    assert x.bound <= 16, x.bound
+    one_b = jnp.broadcast_to(
+        rns.one_rns.reshape((-1,) + (1,) * (x.v.ndim - 1)), x.v.shape)
+
+    def step(acc, bit):
+        sq = r_mul(rns, RVal(acc, 3), RVal(acc, 3))
+        mu = r_mul(rns, sq, x)
+        return jnp.where(bit.astype(bool), mu.v, sq.v), None
+
+    acc, _ = jax.lax.scan(step, one_b, bits)
+    return RVal(acc, 3)
+
+
+def r_batch_inv(rns: RNSCtx, zs, pm2_bits):
+    """Montgomery batch inversion of a [C, 2k, *batch] stack of nonzero
+    values (each bound <= 6): prefix-product chain along the leading axis,
+    ONE Fermat inversion of the total, then a backward unscan -- ~3 r_muls
+    per element instead of a Fermat each (the RNS analog of
+    montgomery.batch_mont_inv; zero entries must be pre-substituted by the
+    caller).  Returns [C, 2k, *batch] residues of the inverses, bound 3."""
+    # forward prefix products: pre[i] = z_0 * ... * z_{i-1}  (pre[0] = 1)
+    def fwd(acc, z):
+        nxt = r_mul(rns, RVal(acc, 3), RVal(z, 6)).v
+        return nxt, acc
+
+    one_b = jnp.broadcast_to(
+        rns.one_rns.reshape((-1,) + (1,) * (zs.ndim - 2)), zs.shape[1:])
+    total, pres = jax.lax.scan(fwd, one_b, zs)
+    t = r_pow_bits(rns, RVal(total, 3), pm2_bits).v      # total^-1
+
+    # backward: inv_i = t_i * pre[i];  t_{i-1} = t_i * z_i
+    def bwd(t, z_pre):
+        z, pre = z_pre
+        inv = r_mul(rns, RVal(t, 3), RVal(pre, 3)).v
+        t2 = r_mul(rns, RVal(t, 3), RVal(z, 6)).v
+        return t2, inv
+
+    _, invs = jax.lax.scan(bwd, t, (zs, pres), reverse=True)
+    return invs
+
+
 # ---------------------------------------------------------------------------
 # Conversions (cold path: once per pairing)
 # ---------------------------------------------------------------------------

@@ -228,6 +228,162 @@ def bsgs_g1(ctx: MontCtx, tables: DecryptTables, csk: JacPoint):
     return found, m_signed
 
 
+# ---------------------------------------------------------------------------
+# RNS-domain giant-step scans
+# ---------------------------------------------------------------------------
+# The limb-domain scans above cost ~(bound+1) complete madds / fp2 muls per
+# lane in the O(L^2) CIOS domain -- at 512-bit keys that rivals the whole
+# RNS decrypt ladder.  These variants run the same chains in the RNS/MXU
+# domain (~2 orders of magnitude cheaper per mul), batch-invert the
+# candidate Z stack with ONE Fermat chain (fieldcore.rns.r_batch_inv), and
+# convert only the final affine coordinates to canonical limbs for the
+# digest lookup -- bit-identical table semantics (the conversion emits the
+# same canonical Montgomery limbs the limb path produces).
+#
+# Degenerate-addition audit for the incomplete RNS mixed add (_add_pt):
+# aux_{i} = csk * gamma^-i hits V == -addend only when m == (i+1)*bound
+# (the true sum IS the identity; _add_pt then yields Z == 0, the correct
+# encoding) and V == +addend only when m == (i-1)*bound, whose true hit
+# fired at giant step i-2 already; corrupted later candidates keep Z == 0
+# (a Z1 == 0 input forces Z3 = Z1*H == 0) and are masked from the lookup.
+
+
+def bsgs_g1_rns(ctx: MontCtx, rns, tables: DecryptTables, Xr, Yr, Zr,
+                base_inf):
+    """Giant-step scan + lookup for csk in RNS form (RVals [2k, B], the
+    raw output of rns_pairing.scalar_mul_rns).  base_inf: [B] identity
+    mask of the input ciphertext points (their raw residues are garbage).
+    Returns (found {0,1}, m int32 signed), flat batch [B]."""
+    from ..fieldcore import rns as rn
+    from . import rns_pairing as rp
+
+    bound = tables.bound
+    k2 = 2 * rns.k
+    B = Xr.v.shape[-1]
+    L = ctx.L
+
+    # negative lane: -csk = (X, K*p - Y, Z); stacked along the batch axis
+    kpK = rns.kp[:, Yr.bound:Yr.bound + 1]
+    tneg = kpK - Yr.v
+    negY = jnp.where(tneg < 0, tneg + rns.m, tneg)
+    X0 = jnp.concatenate([Xr.v, Xr.v], axis=-1)          # [2k, 2B]
+    Y0 = jnp.concatenate([Yr.v, negY], axis=-1)
+    Z0 = jnp.concatenate([Zr.v, Zr.v], axis=-1)
+
+    gx = rn.to_rns_mont(rns, tables.gamma_inv_g1.x.reshape(L, 1))
+    gy = rn.to_rns_mont(rns, tables.gamma_inv_g1.y.reshape(L, 1))
+    gxb = rn.RVal(jnp.broadcast_to(gx.v, (k2, 2 * B)), 3)
+    gyb = rn.RVal(jnp.broadcast_to(gy.v, (k2, 2 * B)), 3)
+
+    def chain(carry, _):
+        nxt = rp._add_pt(rns, *carry, gxb, gyb)
+        return nxt, carry                     # collect BEFORE the add
+
+    _, (Xs, Ys, Zs) = jax.lax.scan(chain, (X0, Y0, Z0), None,
+                                   length=bound + 1)
+    C = bound + 1                             # Xs: [C, 2k, 2B]
+
+    # identity mask from canonical limb Z (no exact zero test in RNS)
+    Zl = rn.from_rns_mont(
+        rns, rn.RVal(jnp.moveaxis(Zs, 0, 1).reshape(k2, C * 2 * B), 6))
+    zmask = lb.is_zero(Zl).reshape(C, 2 * B)   # uint32 {0,1}
+    inf2 = jnp.concatenate([base_inf, base_inf], axis=-1)  # [2B]
+    zmask = zmask | inf2[None].astype(jnp.uint32)
+
+    one_b = jnp.broadcast_to(rns.one_rns, (k2, 2 * B))
+    zsub = jnp.where(zmask[:, None].astype(bool), one_b[None], Zs)
+    zinv = rn.r_batch_inv(rns, zsub, ctx.pm2_bits)        # [C, 2k, 2B]
+
+    # affine-ize all candidates as ONE wide batch (fills the MXU N axis)
+    def wide(a):
+        return jnp.moveaxis(a, 0, 1).reshape(k2, C * 2 * B)
+
+    iw = rn.RVal(wide(zinv), 3)
+    i2 = rn.r_mul(rns, iw, iw)
+    i3 = rn.r_mul(rns, i2, iw)
+    x = rn.r_mul(rns, rn.RVal(wide(Xs), 27), i2)
+    y = rn.r_mul(rns, rn.RVal(wide(Ys), 27), i3)
+    xl = rn.from_rns_mont(rns, x)
+    yl = rn.from_rns_mont(rns, y)
+    xl = xl.reshape(L, C, 2, B)
+    yl = yl.reshape(L, C, 2, B)
+    mask4 = zmask.reshape(C, 2, B)
+    zero = jnp.zeros_like(xl)
+    xl = lb.select(mask4, zero, xl)
+    yl = lb.select(mask4, zero, yl)
+
+    words = jnp.concatenate([xl, yl], axis=0)             # [2L, C, 2, B]
+    hits, vals = _lookup(tables.table_g1, words)
+    hits = hits * (1 - mask4)
+    found_p, m_p = _first_hit(hits[:, 0], vals[:, 0], bound)
+    found_n, m_n = _first_hit(hits[:, 1], vals[:, 1], bound)
+
+    # csk == identity <=> m = 0 (candidate 0 is csk itself)
+    is_zero_ct = (zmask.reshape(C, 2, B)[0, 0] |
+                  inf2[:B].astype(jnp.uint32))
+    m_signed = jnp.where(found_p.astype(bool), m_p.astype(jnp.int32),
+                         -m_n.astype(jnp.int32))
+    m_signed = jnp.where(is_zero_ct.astype(bool), 0, m_signed)
+    found = (is_zero_ct | found_p | found_n).astype(jnp.uint32)
+    return found, m_signed
+
+
+def bsgs_gt_rns(ctx: MontCtx, rns, tables: DecryptTables, zr, zi):
+    """GT giant-step scan for csk = (zr, zi) RVals [2k, B] (raw output of
+    rns_pairing.fp2_pow_rns).  GT inverses are conjugations (unitary
+    subgroup); candidates convert to canonical limbs only for the digest
+    lookup.  Returns (found {0,1}, m int32 signed), flat batch [B]."""
+    from ..fieldcore import rns as rn
+    from . import rns_pairing as rp
+
+    bound = tables.bound
+    k2 = 2 * rns.k
+    B = zr.v.shape[-1]
+    L = ctx.L
+
+    kpK = rns.kp[:, zi.bound:zi.bound + 1]
+    tneg = kpK - zi.v
+    negI = jnp.where(tneg < 0, tneg + rns.m, tneg)
+    R0 = jnp.concatenate([zr.v, zr.v], axis=-1)           # [2k, 2B]
+    I0 = jnp.concatenate([zi.v, negI], axis=-1)
+
+    gr = rn.to_rns_mont(rns, tables.gamma_inv_gt[0].reshape(L, 1))
+    gi = rn.to_rns_mont(rns, tables.gamma_inv_gt[1].reshape(L, 1))
+    grb = rn.RVal(jnp.broadcast_to(gr.v, (k2, 2 * B)), 3)
+    gib = rn.RVal(jnp.broadcast_to(gi.v, (k2, 2 * B)), 3)
+
+    def chain(carry, _):
+        cr, ci = carry
+        nr, ni = rp._fp2_mul(rns, (rn.RVal(cr, 9), rn.RVal(ci, 9)),
+                             (grb, gib))
+        return (nr.v, ni.v), carry
+
+    _, (Rs, Is) = jax.lax.scan(chain, (R0, I0), None, length=bound + 1)
+    C = bound + 1
+
+    rl = rn.from_rns_mont(
+        rns, rn.RVal(jnp.moveaxis(Rs, 0, 1).reshape(k2, C * 2 * B), 9))
+    il = rn.from_rns_mont(
+        rns, rn.RVal(jnp.moveaxis(Is, 0, 1).reshape(k2, C * 2 * B), 9))
+    rl = rl.reshape(L, C, 2, B)
+    il = il.reshape(L, C, 2, B)
+
+    words = jnp.concatenate([rl, il], axis=0)             # [2L, C, 2, B]
+    hits, vals = _lookup(tables.table_gt, words)
+    found_p, m_p = _first_hit(hits[:, 0], vals[:, 0], bound)
+    found_n, m_n = _first_hit(hits[:, 1], vals[:, 1], bound)
+
+    # csk == 1 <=> m = 0: candidate 0 of the positive lane is csk
+    one_ext = lb.expand_to(ctx.one, rl[:, 0, 0].shape)
+    is_zero_ct = (lb.eq(rl[:, 0, 0], one_ext) &
+                  lb.is_zero(il[:, 0, 0])).astype(jnp.uint32)
+    m_signed = jnp.where(found_p.astype(bool), m_p.astype(jnp.int32),
+                         -m_n.astype(jnp.int32))
+    m_signed = jnp.where(is_zero_ct.astype(bool), 0, m_signed)
+    found = (is_zero_ct | found_p | found_n).astype(jnp.uint32)
+    return found, m_signed
+
+
 def bsgs_gt(ctx: MontCtx, tables: DecryptTables, csk):
     """Same as bsgs_g1 for GT: csk [2, L, *batch] = c^q1 in F_p^2."""
     bound = tables.bound

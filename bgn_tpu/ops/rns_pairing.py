@@ -316,10 +316,11 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
     return JacPoint(Xl, Yl, Zl)
 
 
-def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits):
+def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits, raw=False):
     """base^e in G1 via an RNS double-and-add ladder; e = shared MSB-first
     digits -- plain bits or signed NAF, first digit == 1 (the decrypt
-    exponent q1, bgn.go:222-223).
+    exponent q1, bgn.go:222-223).  raw=True skips the limb conversion and
+    returns (X, Y, Z) RVals over the flattened batch.
 
     base: limb-Montgomery AffinePoint; returns a limb-Montgomery JacPoint
     with the same coordinates as ops/curve.py:scalar_mul on every input
@@ -381,6 +382,11 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits):
 
         (X, Y, Z), _ = jax.lax.scan(step, (X0, Y0, Z0), digits[1:])
 
+    if raw:
+        # RNS-domain result for fused consumers (ops/bsgs.py RNS scan);
+        # identity-base lanes carry garbage residues -- the caller masks
+        # them via base.inf
+        return RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
     Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
     Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
     Zl = rn.from_rns_mont(rns, RVal(Z, _BZ)).reshape((ctx.L,) + batch_shape)
@@ -389,14 +395,16 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits):
     return JacPoint(Xl, Yl, Zl)
 
 
-def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, digits, unitary=False):
+def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, digits, unitary=False,
+                raw=False):
     """z^e for GT elements (limb [2, L, *batch] in/out) with the
     square-and-multiply scan in RNS (same contract as fp2.pow_bits for
     shared MSB-first exponents; the L2 decrypt csk = c^q1 path).
 
     unitary=True: z has norm 1 (every reduced pairing value / L2
     ciphertext does), so z^-1 = conj(z) and `digits` may be signed NAF;
-    negative digits multiply by the conjugate."""
+    negative digits multiply by the conjugate.  raw=True returns the
+    (re, im) RVals over the flattened batch without limb conversion."""
     batch_shape = z.shape[2:]
     flat = 1
     for s in batch_shape:
@@ -405,6 +413,8 @@ def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, digits, unitary=False):
     zi = rn.to_rns_mont(rns, z[1].reshape(ctx.L, flat))
     wr, wi = _fp2_pow_bits(rns, (RVal(zr.v, 9), RVal(zi.v, 9)), digits,
                            unitary=unitary)
+    if raw:
+        return wr, wi
     out_re = rn.from_rns_mont(rns, wr).reshape((ctx.L,) + batch_shape)
     out_im = rn.from_rns_mont(rns, wi).reshape((ctx.L,) + batch_shape)
     return jnp.stack([out_re, out_im], axis=0)

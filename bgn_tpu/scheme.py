@@ -752,9 +752,15 @@ def _decrypt_l1_kernel(dev, tables, q1_bits, pt: cv.AffinePoint,
     if pairing_mod.use_rns(dev.rns):
         from .ops import rns_pairing
         digits = q1_bits if q1_naf is None else q1_naf
-        csk = rns_pairing.scalar_mul_rns(ctx, dev.rns, pt, digits)
-    else:
-        csk = cv.scalar_mul(ctx, pt, q1_bits)        # C^q1 (bgn.go:223)
+        # ladder AND giant-step scan stay in the RNS domain; only the
+        # final affine candidates convert to limbs for the digest lookup
+        Xr, Yr, Zr = rns_pairing.scalar_mul_rns(ctx, dev.rns, pt, digits,
+                                                raw=True)
+        batch_shape = pt.inf.shape
+        found, m = bsgs_mod.bsgs_g1_rns(ctx, dev.rns, tables, Xr, Yr, Zr,
+                                        pt.inf.reshape(-1))
+        return found.reshape(batch_shape), m.reshape(batch_shape)
+    csk = cv.scalar_mul(ctx, pt, q1_bits)            # C^q1 (bgn.go:223)
     return bsgs_mod.bsgs_g1(ctx, tables, csk)
 
 
@@ -766,8 +772,10 @@ def _decrypt_l2_kernel(dev, tables, q1_bits, z, q1_naf=None):
         # L2 ciphertexts are reduced pairing values: unitary (norm 1), so
         # the signed-digit chain may take inverses by conjugation
         digits = q1_bits if q1_naf is None else q1_naf
-        csk = rns_pairing.fp2_pow_rns(ctx, dev.rns, z, digits,
-                                      unitary=True)
-    else:
-        csk = fp2.pow_bits(ctx, z, q1_bits)          # c^q1
+        zr, zi = rns_pairing.fp2_pow_rns(ctx, dev.rns, z, digits,
+                                         unitary=True, raw=True)
+        batch_shape = z.shape[2:]
+        found, m = bsgs_mod.bsgs_gt_rns(ctx, dev.rns, tables, zr, zi)
+        return found.reshape(batch_shape), m.reshape(batch_shape)
+    csk = fp2.pow_bits(ctx, z, q1_bits)              # c^q1
     return bsgs_mod.bsgs_gt(ctx, tables, csk)
