@@ -51,26 +51,30 @@ def int_to_limbs(x: int, L: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs: Sequence[int], L: int) -> np.ndarray:
-    """[B] python ints -> [L, B] limb array (host)."""
-    out = np.zeros((L, len(xs)), dtype=np.uint32)
+    """[B] python ints -> [L, B] limb array (host, bytes-vectorized)."""
+    nbytes = 2 * L
+    buf = bytearray(nbytes * len(xs))
     for b, x in enumerate(xs):
-        out[:, b] = int_to_limbs(int(x), L)
-    return out
+        x = int(x)
+        if x < 0:
+            raise ValueError("negative")
+        buf[b * nbytes:(b + 1) * nbytes] = x.to_bytes(nbytes, "little")
+    a16 = np.frombuffer(bytes(buf), dtype=np.uint16).reshape(len(xs), L)
+    return np.ascontiguousarray(a16.T).astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
     """[L] limb vector -> python int (host)."""
-    a = np.asarray(a)
-    x = 0
-    for i in range(a.shape[0]):
-        x |= int(a[i]) << (LIMB_BITS * i)
-    return x
+    a = np.ascontiguousarray(np.asarray(a).astype(np.uint16))
+    return int.from_bytes(a.tobytes(), "little")
 
 
 def limbs_to_ints(a) -> list:
-    """[L, B] -> list of B python ints (host)."""
-    a = np.asarray(a)
-    return [limbs_to_int(a[:, b]) for b in range(a.shape[1])]
+    """[L, B] -> list of B python ints (host, bytes-vectorized)."""
+    a = np.asarray(a).astype(np.uint16)
+    rows = np.ascontiguousarray(a.T)  # [B, L]
+    return [int.from_bytes(rows[b].tobytes(), "little")
+            for b in range(rows.shape[0])]
 
 
 def int_to_bits(x: int, nbits: int) -> np.ndarray:

@@ -19,6 +19,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fieldcore import limbs as lb
 from ..fieldcore import rns as rn
@@ -234,22 +235,24 @@ def make_rns_window_table(ctx: MontCtx, rns: RNSCtx, table):
 
 def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
                        digits):
-    """base^e via the radix-16 window table, accumulated in RNS.
+    """base^e via a radix-W window table, accumulated in RNS (W =
+    scheme._WINDOW_RADIX = 2^w; the table's last axis carries the W
+    digit entries, so the radix is a shape property here).
 
     LSB-first window accumulation (no doublings): acc_j = base^(e mod
-    16^j), updated by one mixed addition per window.  Identity handling
+    W^j), updated by one mixed addition per window.  Identity handling
     is EXACT and flag-based (digit == 0 entries and the not-yet-started
     prefix come from the digits, never from an RNS zero test).  The
     remaining degenerate-addition cases (acc == +-entry) require
-    e mod 16^j == -+ d*16^j (mod ord(base)); both magnitudes are below
-    16^(j+1), so for windows covering fewer bits than the base's order
+    e mod W^j == -+ d*W^j (mod ord(base)); both magnitudes are below
+    W^(j+1), so for windows covering fewer bits than the base's order
     this is impossible, and for the top windows of a full-width random
-    exponent it happens with probability < 2^-(ord_bits - 4) per encrypt
-    (~2^-250 at 512-bit keys) -- documented in docs/PERF.md; the limb
-    path (cv.fixed_base_mul, complete additions) remains the
+    exponent it happens with probability < 2^-(ord_bits - w) per encrypt
+    (~2^-246 at 512-bit keys with w = 8) -- documented in docs/PERF.md;
+    the limb path (cv.fixed_base_mul, complete additions) remains the
     reference-semantics fallback.
 
-    digits: uint32 [Jd, B] base-16 digits, least-significant first.
+    digits: uint32 [Jd, B] base-W digits, least-significant first.
     Returns a limb-Montgomery JacPoint [L, B] (Z = 0 for e = 0).
     Replaces the two scalar mults of EncryptWithRandomness
     (bgn.go:344-346) on the RNS fast path."""
@@ -492,7 +495,21 @@ def _fp2_inv(rns, x, pm2_bits):
 
 def _fp2_pow_bits(rns, x, digits, unitary=False):
     """x^e for an F_p^2 element; e as shared MSB-first digits (plain bits,
-    or signed NAF when unitary=True: x^-1 = conj(x))."""
+    or signed NAF when unitary=True: x^-1 = conj(x)).
+
+    unitary=False requires nonnegative digits: conjugation is only the
+    inverse on the norm-1 subgroup, so signed digits would be silently
+    wrong (and were previously mode-dependent: the XLA/loop paths
+    multiplied by the conjugate while the step path clamped).  Concrete
+    digit arrays are checked loudly; traced digits are clamped to >= 0
+    before dispatch so every Pallas mode computes the same function."""
+    if not unitary:
+        if not isinstance(digits, jax.core.Tracer):
+            if np.asarray(digits).min() < 0:
+                raise ValueError(
+                    "non-unitary fp2 pow requires nonnegative digits "
+                    "(signed NAF needs unitary=True)")
+        digits = jnp.maximum(digits, 0)
     xr, xi = x
     assert xr.bound <= 9 and xi.bound <= 10, (xr.bound, xi.bound)
     one = rn.r_one(rns, xr.v.shape[1:])

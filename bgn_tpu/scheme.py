@@ -278,7 +278,7 @@ class BGNSecretKey:
         self.poly_base = poly_base
         nb = a1_params.q1.bit_length()
         self.q1_bits = jnp.asarray(lb.int_to_bits(a1_params.q1, nb))
-        self.q1_naf = _exp_digits(
+        self.q1_naf, _ = _exp_digits(
             a1_params.q1, nb,
             (a1_params.q1, a1_params.q2, a1_params.n))
 
@@ -372,29 +372,31 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
     e_pp = gk.gt_base()
     e_qq = hm.tate_pairing(gk.Q, gk.Q, params)
     rns = _make_rns(params.p, L)
-    p_win = _window_table(ctx, gk.P, params.p, key_bits)
-    q_win = _window_table(ctx, gk.Q, params.p, key_bits)
+    n_naf_digits, n_digits_kind = _exp_digits(
+        params.n, key_bits, (params.q1, params.q2, params.n))
+    p_win, p_rows = _window_table(ctx, gk.P, params.p, key_bits)
+    q_win, q_rows = _window_table(ctx, gk.Q, params.p, key_bits)
     dev = PublicDeviceKey(
         ctx=ctx,
         rns=rns,
         P=convert.point_from_host(ctx, gk.P),
         Q=convert.point_from_host(ctx, gk.Q),
         n_bits=jnp.asarray(lb.int_to_bits(params.n, key_bits)),
-        n_naf=_exp_digits(params.n, key_bits,
-                          (params.q1, params.q2, params.n)),
+        n_naf=n_naf_digits,
         l_bits=jnp.asarray(lb.int_to_bits(params.l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
         p_win=p_win,
         q_win=q_win,
-        p_win_rns=_win_rns(ctx, rns, p_win),
-        q_win_rns=_win_rns(ctx, rns, q_win),
+        p_win_rns=_win_rns(ctx, rns, p_win, p_rows),
+        q_win_rns=_win_rns(ctx, rns, q_win, q_rows),
     )
     poly_params = PolyEncodingParams(poly_base, fp_scale_base, fp_precision)
     pk = BGNPublicKey(key_bits=key_bits, n=params.n, l=params.l, p=params.p,
                       msg_space=msg_space, deterministic=deterministic,
                       poly_params=poly_params, P_host=gk.P, Q_host=gk.Q,
                       dev=dev)
+    pk.n_digits_kind = n_digits_kind
     sk = BGNSecretKey(params, gk.R, poly_base)
     from . import encoding
     encoding.compute_encoding_table(pk)   # mirrors bgn.go:135
@@ -405,7 +407,8 @@ def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
                           msg_space: int, deterministic: bool,
                           poly_params: PolyEncodingParams,
                           P_host: Tuple[int, int],
-                          Q_host: Tuple[int, int]) -> BGNPublicKey:
+                          Q_host: Tuple[int, int],
+                          n_digits: str | None = None) -> BGNPublicKey:
     """Rebuild a full public key (device context included) from its host
     parts -- the shared path for deserialization (serialize.py) and
     reference import (interop/reference.py).  Mirrors the pairing
@@ -418,29 +421,33 @@ def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
     e_pp = hm.tate_pairing(P_host, P_host, params)
     e_qq = hm.tate_pairing(Q_host, Q_host, params)
     rns = _make_rns(p, L)
-    p_win = _window_table(ctx, P_host, p, key_bits)
-    q_win = _window_table(ctx, Q_host, p, key_bits)
+    n_naf_digits, n_digits_kind = _exp_digits(n, key_bits, (n,),
+                                              force=n_digits)
+    p_win, p_rows = _window_table(ctx, P_host, p, key_bits)
+    q_win, q_rows = _window_table(ctx, Q_host, p, key_bits)
     dev = PublicDeviceKey(
         ctx=ctx,
         rns=rns,
         P=convert.point_from_host(ctx, P_host),
         Q=convert.point_from_host(ctx, Q_host),
-        # public view has no q1/q2: the chain check runs mod n only (the
+        # n_digits replays the encoding keygen chose; without it (legacy
+        # files, reference imports) the chain check runs mod n only (the
         # subgroup-order events it cannot see are ~2^-240 per key; keygen
         # checked them when this key was made)
         n_bits=jnp.asarray(lb.int_to_bits(n, key_bits)),
-        n_naf=_exp_digits(n, key_bits, (n,)),
+        n_naf=n_naf_digits,
         l_bits=jnp.asarray(lb.int_to_bits(l, 32)),
         pair_qq=convert.fp2_single_from_host(ctx, e_qq),
         gt_gen=convert.fp2_single_from_host(ctx, e_pp),
         p_win=p_win,
         q_win=q_win,
-        p_win_rns=_win_rns(ctx, rns, p_win),
-        q_win_rns=_win_rns(ctx, rns, q_win),
+        p_win_rns=_win_rns(ctx, rns, p_win, p_rows),
+        q_win_rns=_win_rns(ctx, rns, q_win, q_rows),
     )
     pk = BGNPublicKey(key_bits=key_bits, n=n, l=l, p=p, msg_space=msg_space,
                       deterministic=deterministic, poly_params=poly_params,
                       P_host=tuple(P_host), Q_host=tuple(Q_host), dev=dev)
+    pk.n_digits_kind = n_digits_kind
     encoding.compute_encoding_table(pk)
     return pk
 
@@ -465,18 +472,49 @@ _WINDOW_BITS = 8
 _WINDOW_RADIX = 1 << _WINDOW_BITS
 
 
-def _win_rns(ctx, rns, table):
-    """RNS residues of a window table, or None without an RNS context
-    (jitted: the eager conversion chain is dispatch-bound otherwise)."""
+def _win_rns(ctx, rns, table, rows=None):
+    """RNS-Montgomery residues ([2k, J, R] x, y) of a window table, or
+    None without an RNS context.
+
+    Host path (when the `rows` of host points that built the table are
+    available): residues of v*A mod p computed with exact host ints +
+    one numpy digit matmul -- zero device compiles at key build.  The
+    host result has exact bound 1 (vs bound 3 from the device
+    to_rns_mont route), strictly inside every static bound the ladder
+    assumes.  Device fallback (deserialization of a bare limb table)
+    jits rns_pairing.make_rns_window_table."""
     if rns is None:
         return None
-    from .ops import rns_pairing
-    return jax.jit(rns_pairing.make_rns_window_table)(ctx, rns, table)
+    if rows is None:
+        from .ops import rns_pairing
+        return jax.jit(rns_pairing.make_rns_window_table)(ctx, rns, table)
+    p = lb.limbs_to_int(np.asarray(ctx.p))
+    m = np.asarray(rns.m).astype(np.int64).ravel()          # [2k]
+    A = 1
+    for v in m[:rns.k]:
+        A *= int(v)
+    pow2 = np.asarray(rns.pow2_8).astype(np.int64)          # [2k, D8]
+    d8 = pow2.shape[1]
+    J, R = table.inf.shape
+
+    def residues(vals):
+        buf = bytearray(d8 * len(vals))
+        for b, v in enumerate(vals):
+            buf[b * d8:(b + 1) * d8] = (v * A % p).to_bytes(d8, "little")
+        digits = np.frombuffer(bytes(buf), dtype=np.uint8)
+        digits = digits.reshape(len(vals), d8).T.astype(np.int64)
+        S = pow2 @ digits                                   # [2k, B]
+        r = (S % m[:, None]).astype(np.float32)
+        return jnp.asarray(r.reshape(-1, J, R))
+
+    xs = [0 if P is None else P[0] for P in rows]
+    ys = [0 if P is None else P[1] for P in rows]
+    return (residues(xs), residues(ys))
 
 
-def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
+def _window_table(ctx, base, p: int, key_bits: int):
     """Host-side radix-2^w fixed-base table: entry (j, d) = base^(d*R^j),
-    R = _WINDOW_RADIX.
+    R = _WINDOW_RADIX.  Returns (AffinePoint [L, J, R], host rows).
 
     The reference has no analog (PBC recomputes scalar mults each call);
     this is the TPU-side answer to encryption's Q^r ladder being as
@@ -497,10 +535,8 @@ def _window_table(ctx, base, p: int, key_bits: int) -> cv.AffinePoint:
         rows.extend(row)
         for _ in range(_WINDOW_BITS):
             gen = hm.ec_dbl(gen, p)
-    ap = convert.affine_from_host(ctx, rows)
-    L = ctx.L
-    return cv.AffinePoint(ap.x.reshape(L, J, R), ap.y.reshape(L, J, R),
-                          ap.inf.reshape(J, R))
+    tab = convert.affine_from_host(ctx, rows, batch_shape=(J, R))
+    return tab, rows
 
 
 def _signed_digits(values, n: int):
@@ -592,21 +628,35 @@ def _chain_degenerate(digits, mods) -> bool:
     return False
 
 
-def _exp_digits(e: int, width: int, mods):
+def _exp_digits(e: int, width: int, mods, force=None):
     """Signed MSB-first ladder digits for exponent e: NAF (ops do ~1/3
     the additions of plain bits) when the chain is safe for every point
     order in `mods`, else plain bits.  Leading zeros stripped so
     digits[0] == 1 (the ladder-init contract of scalar_mul_rns /
-    _miller_f_rns)."""
-    naf = lb.int_to_naf(e, width)
-    if not _chain_degenerate(naf, mods):
-        digits = naf
-    else:  # pragma: no cover -- probability ~2^-240 per key
-        digits = lb.int_to_bits(e, width).astype(np.int32)
-        if _chain_degenerate(digits, mods):
-            raise ValueError("degenerate addition chain; regenerate key")
+    _miller_f_rns).  Returns (digits, kind) with kind in {"naf","bits"}.
+
+    force="naf"/"bits" replays a choice recorded at keygen (serialized
+    with the key parts) instead of re-deciding it: the public view has
+    no q1/q2, and a recomputed check mod n alone could pick NAF for a
+    key whose keygen fell back to bits, giving the two views of the
+    same key different Miller chains (ADVICE r2)."""
+    if force is not None:
+        if force not in ("naf", "bits"):
+            raise ValueError(f"unknown digit encoding {force!r}")
+        digits = (lb.int_to_naf(e, width) if force == "naf"
+                  else lb.int_to_bits(e, width).astype(np.int32))
+        kind = force
+    else:
+        naf = lb.int_to_naf(e, width)
+        if not _chain_degenerate(naf, mods):
+            digits, kind = naf, "naf"
+        else:  # pragma: no cover -- probability ~2^-240 per key
+            digits = lb.int_to_bits(e, width).astype(np.int32)
+            kind = "bits"
+            if _chain_degenerate(digits, mods):
+                raise ValueError("degenerate addition chain; regenerate key")
     nz = np.nonzero(digits)[0]
-    return jnp.asarray(digits[nz[0]:] if nz.size else digits[-1:])
+    return jnp.asarray(digits[nz[0]:] if nz.size else digits[-1:]), kind
 
 
 def _signed_bits(values, n: int):

@@ -71,6 +71,9 @@ def public_key_to_json(pk: BGNPublicKey) -> str:
         "fp_precision": pk.poly_params.fp_precision,
         "P": [hex(pk.P_host[0]), hex(pk.P_host[1])],
         "Q": [hex(pk.Q_host[0]), hex(pk.Q_host[1])],
+        # digit encoding keygen chose for the Miller chain ("naf"/"bits"):
+        # replayed on load so both views of the key use the same chain
+        "n_digits": getattr(pk, "n_digits_kind", None),
     }
     return json.dumps(d)
 
@@ -90,7 +93,8 @@ def public_key_from_json(s: str) -> BGNPublicKey:
         p=int(d["p"], 16), msg_space=d["msg_space"],
         deterministic=d["deterministic"], poly_params=poly_params,
         P_host=tuple(int(v, 16) for v in d["P"]),
-        Q_host=tuple(int(v, 16) for v in d["Q"]))
+        Q_host=tuple(int(v, 16) for v in d["Q"]),
+        n_digits=d.get("n_digits"))
 
 
 def secret_key_to_json(sk: BGNSecretKey) -> str:

@@ -50,7 +50,8 @@ def test_chain_degenerate_flags_the_bad_cases():
 
 
 def test_exp_digits_prefers_naf_and_strips_leading_zeros():
-    d = scheme._exp_digits(0b1011, 8, (1 << 61,))
+    d, kind = scheme._exp_digits(0b1011, 8, (1 << 61,))
+    assert kind == "naf"
     arr = np.asarray(d)
     assert arr[0] == 1
     val = 0
