@@ -32,6 +32,21 @@ class EncodingTables:
 
 
 @dataclass
+class Plaintext:
+    """Scalar (non-polynomial) plaintext wrapper (reference Plaintext,
+    plaintext.go:21-25).  Thin and barely used in the reference; provided
+    for API parity."""
+
+    pk: object                 # BGNPublicKey
+    value: int
+
+
+def new_plaintext(pk, m: int) -> Plaintext:
+    """Mirrors PublicKey.NewPlaintext (plaintext.go:27-30)."""
+    return Plaintext(pk, int(m))
+
+
+@dataclass
 class PolyPlaintext:
     """Polynomial-encoded value (reference PolyPlaintext, plaintext.go:14)."""
 

@@ -51,6 +51,11 @@ class PolyCiphertext:
     def copy(self) -> "PolyCiphertext":
         return PolyCiphertext(self.ct, self.degree, self.scale_factor)
 
+    def string(self, pk) -> str:
+        """Coefficient elements one per line (the analog of
+        PolyCiphertext.String, ciphertext.go:64-73)."""
+        return self.ct.string(pk) + "\n"
+
 
 # ---------------------------------------------------------------------------
 # Encrypt / decrypt

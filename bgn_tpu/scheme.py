@@ -347,6 +347,22 @@ class Ciphertext:
                                          self.data.y[:, idx],
                                          self.data.inf[idx]), False)
 
+    def string(self, pk) -> str:
+        """Canonical hex of every batch element, one per line (the analog
+        of Ciphertext.String, ciphertext.go:60-62; needs pk to leave the
+        Montgomery domain, like Bytes needs the pairing context)."""
+        from .utils import convert
+        flat = self.reshape((int(np.prod(self.batch_shape)) or 1,))
+        nb = 2 * pk.dev.ctx.L
+        if self.level2:
+            vals = convert.fp2_to_host(pk.dev.ctx, flat.data)
+            return "\n".join(f"[{re:0{2 * nb}x}, {im:0{2 * nb}x}]"
+                             for re, im in vals)
+        pts = convert.affine_to_host(pk.dev.ctx, flat.data)
+        return "\n".join("O" if P is None
+                         else f"[{P[0]:0{2 * nb}x}, {P[1]:0{2 * nb}x}]"
+                         for P in pts)
+
 
 # ---------------------------------------------------------------------------
 # Keygen

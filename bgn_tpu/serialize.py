@@ -122,22 +122,44 @@ def secret_key_from_json(s: str) -> BGNSecretKey:
 # ---------------------------------------------------------------------------
 
 
+def _mont_scale_limbs(pk: BGNPublicKey, a: np.ndarray, factor: int
+                      ) -> np.ndarray:
+    """x -> x*factor mod p over a [L, *batch] limb array, on host ints.
+
+    The Montgomery entry/exit scaling at the serialization boundary runs
+    host-side for the same reason as utils/convert.py: a jitted device
+    from_mont/to_mont here would cold-compile per batch shape."""
+    from .fieldcore import limbs as lb
+
+    L = a.shape[0]
+    flat = a.reshape(L, -1)
+    vals = [v * factor % pk.p for v in lb.limbs_to_ints(flat)]
+    return lb.ints_to_limbs(vals, L).reshape(a.shape)
+
+
+def _from_mont_np(pk: BGNPublicKey, a) -> np.ndarray:
+    R = 1 << (16 * pk.dev.ctx.L)
+    return _mont_scale_limbs(pk, np.asarray(a), pow(R, -1, pk.p))
+
+
+def _to_mont_dev(pk: BGNPublicKey, a: np.ndarray):
+    R = 1 << (16 * pk.dev.ctx.L)
+    return jnp.asarray(_mont_scale_limbs(pk, a, R % pk.p))
+
+
 def ciphertext_to_bytes(pk: BGNPublicKey, ct: Ciphertext) -> bytes:
     """Analog of Ciphertext.Bytes (ciphertext.go:76-90): npz of canonical
     limb arrays + level flag."""
-    from .fieldcore import montgomery as mg
-    import jax
-
     buf = io.BytesIO()
     if ct.level2:
-        re = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data[0]))
-        im = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data[1]))
-        np.savez(buf, level2=np.int32(1), re=re, im=im)
+        np.savez(buf, level2=np.int32(1),
+                 re=_from_mont_np(pk, ct.data[0]),
+                 im=_from_mont_np(pk, ct.data[1]))
     else:
-        x = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data.x))
-        y = np.asarray(jax.jit(mg.from_mont)(pk.dev.ctx, ct.data.y))
-        inf = np.asarray(ct.data.inf)
-        np.savez(buf, level2=np.int32(0), x=x, y=y, inf=inf)
+        np.savez(buf, level2=np.int32(0),
+                 x=_from_mont_np(pk, ct.data.x),
+                 y=_from_mont_np(pk, ct.data.y),
+                 inf=np.asarray(ct.data.inf))
     return buf.getvalue()
 
 
@@ -146,17 +168,14 @@ def ciphertext_from_bytes(pk: BGNPublicKey, data: bytes) -> Ciphertext:
     rebind the field context."""
     if len(data) == 0:
         raise ValueError("no data provided")
-    from .fieldcore import montgomery as mg
-    import jax
-
     z = np.load(io.BytesIO(data))
-    to_mont = jax.jit(mg.to_mont)
     if int(z["level2"]):
-        re = to_mont(pk.dev.ctx, jnp.asarray(z["re"]))
-        im = to_mont(pk.dev.ctx, jnp.asarray(z["im"]))
-        return Ciphertext(jnp.stack([re, im], axis=0), True)
-    x = to_mont(pk.dev.ctx, jnp.asarray(z["x"]))
-    y = to_mont(pk.dev.ctx, jnp.asarray(z["y"]))
+        R = 1 << (16 * pk.dev.ctx.L)
+        zz = np.stack([_mont_scale_limbs(pk, z["re"], R % pk.p),
+                       _mont_scale_limbs(pk, z["im"], R % pk.p)], axis=0)
+        return Ciphertext(jnp.asarray(zz), True)
+    x = _to_mont_dev(pk, z["x"])
+    y = _to_mont_dev(pk, z["y"])
     return Ciphertext(cv.AffinePoint(x, y, jnp.asarray(z["inf"])), False)
 
 

@@ -200,3 +200,25 @@ def test_encrypt_device_randomness(keypair):
                                   np.asarray(ct2.data.x))
     ct3 = pk.encrypt_device(ms, _jax.random.PRNGKey(7))
     assert not np.array_equal(np.asarray(ct.data.x), np.asarray(ct3.data.x))
+
+
+def test_plaintext_wrapper_and_string_repr(keypair):
+    """Plaintext/NewPlaintext (plaintext.go:21-30) and the String()
+    analogs (ciphertext.go:60-73): canonical hex, one element per line,
+    identical for equal deterministic ciphertexts."""
+    from bgn_tpu import encoding, polyct
+
+    pk, sk, tables = keypair
+    pt = encoding.new_plaintext(pk, 42)
+    assert pt.value == 42 and pt.pk is pk
+
+    ct = pk.encrypt_deterministic([3, 7])
+    s = ct.string(pk)
+    assert len(s.splitlines()) == 2
+    assert s == pk.encrypt_deterministic([3, 7]).string(pk)
+    l2 = pk.mult(ct, ct)
+    assert len(l2.string(pk).splitlines()) == 2
+
+    ppt = encoding.new_poly_plaintext(pk, 2.5)
+    pct = polyct.encrypt_poly(pk, ppt, rng=random.Random(4))
+    assert pct.string(pk).endswith("\n")
