@@ -56,6 +56,11 @@ class MontCtx:
     one: jax.Array        # [L] R mod p     (Montgomery form of 1)
     pm2_bits: jax.Array   # [16L] bits of p-2, MSB first (Fermat inversion)
     pp1d4_bits: jax.Array  # [16L] bits of (p+1)/4, MSB first (sqrt, p=3 mod 4)
+    # host copy of the modulus (static aux data, not traced): key-build and
+    # serialization paths need p as a Python int, and a device->host read of
+    # ctx.p costs SECONDS per fresh array on tunneled TPU backends (the
+    # first read in a process ~15s; keygen was 130s+ before this field).
+    p_host: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def L(self) -> int:
@@ -79,6 +84,7 @@ def make_mont_ctx(p: int, L: int | None = None) -> MontCtx:
         one=jnp.asarray(lb.int_to_limbs(R % p, L)),
         pm2_bits=jnp.asarray(lb.int_to_bits(p - 2, LIMB_BITS * L)),
         pp1d4_bits=jnp.asarray(lb.int_to_bits((p + 1) // 4, LIMB_BITS * L)),
+        p_host=p,
     )
 
 
@@ -243,7 +249,7 @@ def mont_sqrt(ctx: MontCtx, a):
     return mont_pow(ctx, a, ctx.pp1d4_bits)
 
 
-def batch_mont_inv(ctx: MontCtx, a):
+def batch_mont_inv(ctx: MontCtx, a, inv_fn=None):
     """Inverse of every element along axis 1 for one `mont_inv`'s cost.
 
     Montgomery's batch-inversion trick with prefix/suffix products computed
@@ -252,6 +258,8 @@ def batch_mont_inv(ctx: MontCtx, a):
     inv(total).  Zero entries map to zero (callers mask separately).
 
     a: [L, N, *batch] Montgomery form -> same shape of inverses.
+    inv_fn: optional replacement for the single mont_inv (same contract:
+    Montgomery-form limbs in/out) -- the RNS pow kernel on TPU.
     """
     one = jnp.broadcast_to(_bcast(ctx.one, a.ndim - 1), a.shape)
     is0 = jnp.all(a == 0, axis=0, keepdims=True)       # [1, N, *batch]
@@ -262,7 +270,8 @@ def batch_mont_inv(ctx: MontCtx, a):
 
     prefix = jax.lax.associative_scan(mul2, safe, axis=1)
     suffix = jax.lax.associative_scan(mul2, safe, axis=1, reverse=True)
-    total_inv = mont_inv(ctx, prefix[:, -1])           # [L, *batch]
+    total_inv = (inv_fn or (lambda t: mont_inv(ctx, t)))(
+        prefix[:, -1])                                 # [L, *batch]
     one_col = one[:, :1]
     pre_excl = jnp.concatenate([one_col, prefix[:, :-1]], axis=1)
     suf_excl = jnp.concatenate([suffix[:, 1:], one_col], axis=1)

@@ -150,6 +150,25 @@ class RNSCtx:
 _KMAX = 32  # largest ceil(bound) ever passed to r_sub (max in pairing: 27)
 
 
+def select_channels(p: int):
+    """Deterministic channel choice for modulus p: interleave the prime
+    pool between the bases so their products stay balanced, growing k
+    until BOTH have headroom >= _H_MIN.  Host-only; also used by key-build
+    code that needs the moduli as Python ints without reading the device
+    arrays back (scheme._win_rns)."""
+    primes = _primes_desc()
+    A, B, k = 1, 1, 0
+    target = p * _H_MIN
+    while A < target or B < target:
+        if 2 * k + 1 >= len(primes):
+            raise ValueError(
+                "modulus too large for the 12-bit RNS prime pool")
+        A *= primes[2 * k]
+        B *= primes[2 * k + 1]
+        k += 1
+    return primes[0:2 * k:2], primes[1:2 * k:2], k
+
+
 def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
     """Build the RNS context for modulus p (host-side, exact python ints).
 
@@ -161,20 +180,12 @@ def make_rns_ctx(p: int, L: int | None = None) -> RNSCtx:
     if not (p % 2 and p > (1 << 13)):
         raise ValueError("modulus must be an odd prime > 2^13")
 
-    primes = _primes_desc()
-    # Interleave primes between the bases so their products stay balanced;
-    # grow k until BOTH have headroom >= _H_MIN.
-    A, B, k = 1, 1, 0
-    target = p * _H_MIN
-    while A < target or B < target:
-        if 2 * k + 1 >= len(primes):
-            raise ValueError(
-                "modulus too large for the 12-bit RNS prime pool")
-        A *= primes[2 * k]
-        B *= primes[2 * k + 1]
-        k += 1
-    A_list = primes[0:2 * k:2]
-    B_list = primes[1:2 * k:2]
+    A_list, B_list, k = select_channels(p)
+    A, B = 1, 1
+    for a in A_list:
+        A *= a
+    for b in B_list:
+        B *= b
     h = A // p
     assert h >= _H_MIN and B // p >= _H_MIN
 

@@ -114,8 +114,10 @@ def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
                        c_bits, c_neg, dl_digits, dl_neg):
     ctx = dev.ctx
     # P^DL via the fixed-base window table; ct^c needs the generic ladder
-    lhs = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.p_win, dl_digits))
+    lhs = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.p_win, dl_digits),
+                       rns=dev.rns)
     rhs = cv.scalar_mul(ctx, ct_pt, c_bits)                      # ct^c
-    rhs_aff = cv.normalize(ctx, rhs)
-    rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt))
+    rhs_aff = cv.normalize(ctx, rhs, rns=dev.rns)
+    rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt),
+                        rns=dev.rns)
     return cv.eq_affine(lhs, rhs2)

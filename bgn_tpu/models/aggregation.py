@@ -27,7 +27,7 @@ def _sum_l1_kernel(dev: PublicDeviceKey, pts: cv.AffinePoint):
     v = cv.to_jac(ctx, cv.AffinePoint(x[:, 0], y[:, 0], inf[0]))
     for i in range(1, N):
         v = cv.madd(ctx, v, cv.AffinePoint(x[:, i], y[:, i], inf[i]))
-    return cv.normalize(ctx, v)
+    return cv.normalize(ctx, v, rns=dev.rns)
 
 
 def aggregate(pk: BGNPublicKey, contributions: Ciphertext) -> Ciphertext:

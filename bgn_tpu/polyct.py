@@ -239,7 +239,8 @@ def _poly_accumulate_l1(dev, prods: cv.AffinePoint, d1: int, d2: int):
             jax.lax.dynamic_slice_in_dim(out.x, i, d2, axis=1),
             jax.lax.dynamic_slice_in_dim(out.y, i, d2, axis=1),
             jax.lax.dynamic_slice_in_dim(out.inf, i, d2, axis=0))
-        seg = cv.normalize(ctx, cv.add_affine(ctx, seg, row))
+        seg = cv.normalize(ctx, cv.add_affine(ctx, seg, row),
+                           rns=dev.rns)
         out = cv.AffinePoint(
             jax.lax.dynamic_update_slice_in_dim(out.x, seg.x, i, axis=1),
             jax.lax.dynamic_update_slice_in_dim(out.y, seg.y, i, axis=1),

@@ -504,13 +504,19 @@ def _win_rns(ctx, rns, table, rows=None):
     if rows is None:
         from .ops import rns_pairing
         return jax.jit(rns_pairing.make_rns_window_table)(ctx, rns, table)
-    p = lb.limbs_to_int(np.asarray(ctx.p))
-    m = np.asarray(rns.m).astype(np.int64).ravel()          # [2k]
+    # All constants recomputed host-side from p (channel selection is
+    # deterministic): reading rns.m / rns.pow2_8 / ctx.p back from a
+    # tunneled TPU costs seconds per array (montgomery.MontCtx.p_host).
+    p = ctx.p_host
+    from .fieldcore import rns as rn
+    A_list, B_list, _ = rn.select_channels(p)
+    m = np.array(A_list + B_list, dtype=np.int64)           # [2k]
     A = 1
-    for v in m[:rns.k]:
-        A *= int(v)
-    pow2 = np.asarray(rns.pow2_8).astype(np.int64)          # [2k, D8]
-    d8 = pow2.shape[1]
+    for v in A_list:
+        A *= v
+    d8 = 2 * ctx.L
+    pow2 = np.array([[pow(256, d, int(mc)) for d in range(d8)]
+                     for mc in m], dtype=np.int64)          # [2k, D8]
     J, R = table.inf.shape
 
     def residues(vals):
@@ -735,9 +741,9 @@ def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
     g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)  # P^|m|
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
     h = _fixed_base(dev, dev.q_win, dev.q_win_rns, r_digits)  # Q^r
-    h_aff = cv.normalize(ctx, h)
+    h_aff = cv.normalize(ctx, h, rns=dev.rns)
     c = cv.madd(ctx, g, h_aff)
-    return cv.normalize(ctx, c)
+    return cv.normalize(ctx, c, rns=dev.rns)
 
 
 @jax.jit
@@ -745,18 +751,18 @@ def _encrypt_det_kernel(dev: PublicDeviceKey, m_digits, m_neg):
     ctx = dev.ctx
     g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
-    return cv.normalize(ctx, g)
+    return cv.normalize(ctx, g, rns=dev.rns)
 
 
 @jax.jit
 def _add_l1_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
-    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, b))
+    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, b), rns=dev.rns)
 
 
 @jax.jit
 def _sub_l1_kernel(dev, a: cv.AffinePoint, b: cv.AffinePoint):
     nb = cv.neg_affine(dev.ctx, b)
-    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, nb))
+    return cv.normalize(dev.ctx, cv.add_affine(dev.ctx, a, nb), rns=dev.rns)
 
 
 @jax.jit
@@ -787,7 +793,7 @@ def _mult_const_l1_kernel(dev, a: cv.AffinePoint, k_bits, k_neg):
     ctx = dev.ctx
     r = cv.scalar_mul(ctx, a, k_bits)
     r = cv.JacPoint(r.X, lb.select(k_neg, mg.mod_neg(ctx, r.Y), r.Y), r.Z)
-    return cv.normalize(ctx, r)
+    return cv.normalize(ctx, r, rns=dev.rns)
 
 
 @jax.jit
@@ -800,8 +806,9 @@ def _mult_const_l2_kernel(dev, a, k_bits, k_neg):
 @jax.jit
 def _rerand_l1_kernel(dev, pt: cv.AffinePoint, r_digits):
     ctx = dev.ctx
-    h = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.q_win, r_digits))
-    return cv.normalize(ctx, cv.add_affine(ctx, pt, h))
+    h = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.q_win, r_digits),
+                     rns=dev.rns)
+    return cv.normalize(ctx, cv.add_affine(ctx, pt, h), rns=dev.rns)
 
 
 @jax.jit

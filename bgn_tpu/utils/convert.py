@@ -28,8 +28,10 @@ HostFp2 = Tuple[int, int]
 
 
 def _host_mod(ctx: MontCtx) -> Tuple[int, int]:
-    """(p, R) as host ints, recovered from the context's limb arrays."""
-    p = lb.limbs_to_int(np.asarray(ctx.p))
+    """(p, R) as host ints.  Prefers the static ctx.p_host: reading the
+    limb array back from a tunneled TPU costs seconds per fresh array
+    (montgomery.MontCtx.p_host)."""
+    p = ctx.p_host or lb.limbs_to_int(np.asarray(ctx.p))
     return p, 1 << (lb.LIMB_BITS * ctx.L)
 
 
