@@ -51,6 +51,49 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Transient backend failures (tunneled remote_compile RPC resets, transient
+# INTERNAL/UNAVAILABLE states) must not void a whole bench run: every timed
+# call retries with backoff, and every section is independent (one failure
+# records an error entry and the run continues) -- VERDICT r3 item 1.
+_TRANSIENT_MARKERS = ("remote_compile", "INTERNAL", "UNAVAILABLE",
+                      "DEADLINE_EXCEEDED", "read body", "Socket closed",
+                      "connection reset", "RESOURCE_EXHAUSTED")
+
+
+def _is_transient(e) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return isinstance(e, RuntimeError) and any(m in s
+                                               for m in _TRANSIENT_MARKERS)
+
+
+def with_retry(fn, attempts=5, base_delay=2.0):
+    """Run fn(), retrying transient backend errors with exponential
+    backoff (2s, 4s, ... capped at 60s)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if i == attempts - 1 or not _is_transient(e):
+                raise
+            d = min(base_delay * (2 ** i), 60.0)
+            log(f"  !! transient backend error ({type(e).__name__}): "
+                f"{str(e)[:160]} -- retry {i + 1}/{attempts - 1} in {d:.0f}s")
+            time.sleep(d)
+
+
+def section(name, fn):
+    """Run one bench section so a failure (even a persistent one) records
+    an error entry instead of aborting the run; returns fn() or None."""
+    try:
+        return with_retry(fn)
+    except Exception as e:
+        RESULTS[f"{name}__error"] = {
+            "error": f"{type(e).__name__}: {str(e)[:400]}"}
+        log(f"  !! section {name} FAILED: {type(e).__name__}: "
+            f"{str(e)[:200]}")
+        return None
+
+
 RESULTS = {}
 
 
@@ -62,14 +105,20 @@ def record(name, ops_per_sec, batch, config, note=""):
 
 
 def timed(fn, materialize, iters, total_ops):
-    """Compile+warm once, then rate over `iters` calls (total_ops items)."""
-    materialize(fn())
-    t0 = time.time()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    materialize(out)
-    return total_ops / (time.time() - t0)
+    """Compile+warm once, then rate over `iters` calls (total_ops items).
+    Each phase retries transient backend errors; a failure mid-timing
+    restarts only the timing loop (warm caches make the retry cheap)."""
+    with_retry(lambda: materialize(fn()))
+
+    def _time_loop():
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        materialize(out)
+        return total_ops / (time.time() - t0)
+
+    return with_retry(_time_loop)
 
 
 def mat_ct(ct):
@@ -88,50 +137,66 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
     # ms*ks must stay inside MSG_SPACE for the L2 decrypt section
     ms = [rng.randrange(MSG_SPACE // 3) for _ in range(batch)]
     ks = [rng.randrange(1, 4) for _ in range(batch)]
-    a = pk.encrypt(ms, rng=rng)
-    b = pk.encrypt(ks, rng=rng)
-    jax.block_until_ready((a.data.x, b.data.x))
+    a = with_retry(lambda: pk.encrypt(ms, rng=rng))
+    b = with_retry(lambda: pk.encrypt(ks, rng=rng))
+    with_retry(lambda: jax.block_until_ready((a.data.x, b.data.x)))
 
-    record(f"Encrypt{sfx}",
-           timed(lambda: pk.encrypt(ms, rng=rng), mat_ct, iters,
-                 batch * iters), batch, config)
-    record(f"Add{sfx}",
-           timed(lambda: pk.add(a, b), mat_ct, iters, batch * iters),
-           batch, config)
-    record(f"MultConstant{sfx}",
-           timed(lambda: pk.mult_const(a, ks), mat_ct, iters,
-                 batch * iters), batch, config)
+    section(f"Encrypt{sfx}", lambda: record(
+        f"Encrypt{sfx}",
+        timed(lambda: pk.encrypt(ms, rng=rng), mat_ct, iters,
+              batch * iters), batch, config))
+    section(f"Add{sfx}", lambda: record(
+        f"Add{sfx}",
+        timed(lambda: pk.add(a, b), mat_ct, iters, batch * iters),
+        batch, config))
+    section(f"MultConstant{sfx}", lambda: record(
+        f"MultConstant{sfx}",
+        timed(lambda: pk.mult_const(a, ks), mat_ct, iters,
+              batch * iters), batch, config))
 
-    t0 = time.time()
-    prod_raw = _mult_kernel(pk.dev, a.data, b.data)
-    np.asarray(prod_raw[:, :, 0]).sum()
-    log(f"  pairing compile+first batch: {time.time() - t0:.1f}s")
-    emult = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
-                  lambda o: np.asarray(o[:, :, 0]).sum(), iters,
-                  batch * iters)
-    record(f"Mult{sfx}", emult, batch, 3 if not label else config)
+    def _mult_section():
+        t0 = time.time()
+        prod_raw = _mult_kernel(pk.dev, a.data, b.data)
+        np.asarray(prod_raw[:, :, 0]).sum()
+        log(f"  pairing compile+first batch: {time.time() - t0:.1f}s")
+        emult = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
+                      lambda o: np.asarray(o[:, :, 0]).sum(), iters,
+                      batch * iters)
+        record(f"Mult{sfx}", emult, batch, 3 if not label else config)
+        return emult
 
-    prod = pk.mult(a, b)
-    record(f"AddL2{sfx}",
-           timed(lambda: pk.add(prod, prod), mat_ct, iters, batch * iters),
-           batch, 3 if not label else config)
+    emult = section(f"Mult{sfx}", _mult_section)
 
-    t0 = time.time()
-    found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data,
-                                  sk.q1_naf)
-    np.asarray(m).sum()
-    log(f"  decrypt compile+first batch: {time.time() - t0:.1f}s")
-    record(f"Decrypt{sfx}",
-           timed(lambda: _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits,
-                                            a.data, sk.q1_naf)[1],
-                 lambda o: np.asarray(o).sum(), iters, batch * iters),
-           batch, config)
-    assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], "decrypt mismatch"
+    def _l2_sections():
+        prod = pk.mult(a, b)
+        section(f"AddL2{sfx}", lambda: record(
+            f"AddL2{sfx}",
+            timed(lambda: pk.add(prod, prod), mat_ct, iters,
+                  batch * iters), batch, 3 if not label else config))
+        section(f"DecryptL2{sfx}", lambda: record(
+            f"DecryptL2{sfx}",
+            timed(lambda: sk.decrypt(prod, pk, tables),
+                  lambda o: np.asarray(o).sum(), max(1, iters // 2),
+                  batch * max(1, iters // 2)),
+            batch, 3 if not label else config))
 
-    record(f"DecryptL2{sfx}",
-           timed(lambda: sk.decrypt(prod, pk, tables),
-                 lambda o: np.asarray(o).sum(), max(1, iters // 2),
-                 batch * max(1, iters // 2)), batch, 3 if not label else config)
+    section(f"L2{sfx}", _l2_sections)
+
+    def _decrypt_section():
+        t0 = time.time()
+        found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data,
+                                      sk.q1_naf)
+        np.asarray(m).sum()
+        log(f"  decrypt compile+first batch: {time.time() - t0:.1f}s")
+        record(f"Decrypt{sfx}",
+               timed(lambda: _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits,
+                                                a.data, sk.q1_naf)[1],
+                     lambda o: np.asarray(o).sum(), iters, batch * iters),
+               batch, config)
+        assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], \
+            "decrypt mismatch"
+
+    section(f"Decrypt{sfx}", _decrypt_section)
     return emult
 
 
@@ -236,9 +301,10 @@ def bench_multichip(pk, sk, tables, rng, iters):
     jax.block_until_ready(a.data.x)
     rate = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
                  lambda o: np.asarray(o[:, :, 0]).sum(), iters, B * iters)
-    eff = rate / (RESULTS["Mult"]["ops_per_sec"] * ndev)
-    record(f"Mult_dp{ndev}", rate, B, 5,
-           f"DP over {ndev} devices; scaling efficiency {eff:.2f}")
+    one_chip = RESULTS.get("Mult", {}).get("ops_per_sec")
+    eff = f"; scaling efficiency {rate / (one_chip * ndev):.2f}" \
+        if one_chip else ""
+    record(f"Mult_dp{ndev}", rate, B, 5, f"DP over {ndev} devices{eff}")
 
 
 def main():
@@ -250,15 +316,18 @@ def main():
     args = ap.parse_args()
 
     from bgn_tpu import scheme
+    from bgn_tpu.config import BGNParams
 
     t0 = time.time()
     rng = random.Random(1234)
-    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
-    keygen_s = time.time() - t0
+    params = BGNParams(key_bits=KEY_BITS, msg_space=MSG_SPACE)
+    pk, sk = with_retry(lambda: params.keygen(rng=random.Random(1234)))
+    rng = random.Random(5678)   # independent stream: retries must not
+    keygen_s = time.time() - t0  # desync the data rng
     log(f"keygen({KEY_BITS}): {keygen_s:.1f}s "
         f"(l={pk.l}, L={pk.dev.ctx.L} limbs)")
     t0 = time.time()
-    tables = pk.setup_decryption(sk, rng=rng)
+    tables = with_retry(lambda: pk.setup_decryption(sk, rng=rng))
     log(f"setup_decryption: {time.time() - t0:.1f}s")
 
     log(f"== config 1+3: core ops at {KEY_BITS}-bit, batch {BATCH}")
@@ -267,22 +336,32 @@ def main():
 
     if args.full:
         log("== config 2: 10^4-batch EAdd/EMultC + poly ops")
-        bench_batch_10k(pk, rng, max(2, args.iters // 2))
-        bench_poly(pk, sk, tables, rng, max(2, args.iters // 2))
+        section("batch_10k",
+                lambda: bench_batch_10k(pk, rng, max(2, args.iters // 2)))
+        section("poly",
+                lambda: bench_poly(pk, sk, tables, rng,
+                                   max(2, args.iters // 2)))
         log("== config 4: gadgets")
-        bench_gadgets(pk, sk, rng, args.iters)
+        section("gadgets", lambda: bench_gadgets(pk, sk, rng, args.iters))
         log("== config 5: multi-chip DP scaling")
-        bench_multichip(pk, sk, tables, rng, max(2, args.iters // 2))
+        section("multichip",
+                lambda: bench_multichip(pk, sk, tables, rng,
+                                        max(2, args.iters // 2)))
         if not args.skip_1024:
             log("== config 5: 1024-bit")
-            t0 = time.time()
-            rng2 = random.Random(4321)
-            pk2, sk2 = scheme.keygen(1024, MSG_SPACE, rng=rng2)
-            record("KeyGen_1024", 1.0 / (time.time() - t0), 1, 5,
-                   "host-side (single)")
-            tables2 = pk2.setup_decryption(sk2, rng=rng2)
-            bench_core(pk2, sk2, tables2, rng2, 512,
-                       max(2, args.iters // 2), 5, label="1024")
+
+            def _bench_1024():
+                t0 = time.time()
+                rng2 = random.Random(4321)
+                pk2, sk2 = BGNParams(key_bits=1024,
+                                     msg_space=MSG_SPACE).keygen(rng=rng2)
+                record("KeyGen_1024", 1.0 / (time.time() - t0), 1, 5,
+                       "host-side (single)")
+                tables2 = pk2.setup_decryption(sk2, rng=rng2)
+                bench_core(pk2, sk2, tables2, rng2, 512,
+                           max(2, args.iters // 2), 5, label="1024")
+
+            section("core_1024", _bench_1024)
         out = {
             "device": f"{jax.devices()[0].platform}:{len(jax.devices())}",
             "key_bits": KEY_BITS,
@@ -296,6 +375,16 @@ def main():
             json.dump(out, f, indent=1)
         log(f"wrote {path}")
 
+    if emult is None:
+        # the Mult section failed even after retries; the run still has a
+        # record for every surviving section -- report rc=1 with context
+        log("headline Mult section failed; see error entries above")
+        print(json.dumps({
+            "metric": "emult_pairings_per_sec", "value": None,
+            "unit": "ops/s", "vs_baseline": None,
+            "error": RESULTS.get("Mult__error", {}).get("error", "unknown"),
+        }), flush=True)
+        sys.exit(1)
     n_chips = len(jax.devices())
     baseline = NORTH_STAR_PER_CHIP * n_chips
     print(json.dumps({

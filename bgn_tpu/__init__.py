@@ -19,6 +19,7 @@ Quick start:
 
 from .scheme import (BGNPublicKey, BGNSecretKey, Ciphertext,  # noqa: F401
                      PolyEncodingParams, keygen)
+from .config import BGNParams  # noqa: F401
 from .encoding import (PolyPlaintext, new_poly_plaintext,  # noqa: F401
                        new_unbalanced_plaintext)
 from .polyct import (PolyCiphertext, encrypt_poly, decrypt_poly,  # noqa

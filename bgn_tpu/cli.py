@@ -26,10 +26,13 @@ Boneh Goh Nissim Cryptosystem on TPU (JAX/XLA/Pallas)
 
 
 def run_simple_check(key_bits: int, poly_base: int, seed=None) -> None:
-    from . import scheme
+    from .config import BGNParams
 
     rng = random.Random(seed)
-    pk, sk = scheme.keygen(key_bits, 1021, poly_base, 3, 2, True, rng=rng)
+    params = BGNParams(key_bits=key_bits, msg_space=1021,
+                       poly_base=poly_base, fp_scale_base=3,
+                       fp_precision=2, deterministic=True)
+    pk, sk = params.keygen(rng=rng)
     tables = pk.setup_decryption(sk, rng=rng)
 
     zero = pk.encrypt([0])
@@ -67,11 +70,14 @@ def run_simple_check(key_bits: int, poly_base: int, seed=None) -> None:
 def run_poly_arithmetic_check(key_bits: int, msg_space: int, poly_base: int,
                               fp_scale_base: int, fp_precision: float,
                               seed=None) -> None:
-    from . import encoding, polyct, scheme
+    from . import encoding, polyct
+    from .config import BGNParams
 
     rng = random.Random(seed)
-    pk, sk = scheme.keygen(key_bits, msg_space, poly_base, fp_scale_base,
-                           fp_precision, True, rng=rng)
+    params = BGNParams(key_bits=key_bits, msg_space=msg_space,
+                       poly_base=poly_base, fp_scale_base=fp_scale_base,
+                       fp_precision=fp_precision, deterministic=True)
+    pk, sk = params.keygen(rng=rng)
     tables = pk.setup_decryption(sk, rng=rng)
 
     def dec(pct):

@@ -45,9 +45,14 @@ _USE_PALLAS = os.environ.get("BGN_TPU_PALLAS", "1") != "0"
 class MontCtx:
     """Montgomery context for a fixed odd modulus p held in device arrays.
 
-    All fields are arrays so that one compiled kernel serves every key of
-    the same limb width (shapes, not values, key the jit cache).
-    R = 2^(16*L).
+    Array fields don't key the jit cache, but the static `p_host` int DOES
+    enter the pytree treedef: jit caches are therefore keyed per key value,
+    trading cross-key kernel sharing for host-int access without device
+    readbacks (a tunneled-TPU ctx.p read costs seconds; keygen was 130s+
+    before p_host).  Multi-key workloads at the same width recompile the
+    limb kernels once per key; on the rns=None large-key path that is the
+    only compiled field path, so prefer key reuse there when churning many
+    keys.  R = 2^(16*L).
     """
 
     p: jax.Array          # [L] modulus limbs

@@ -156,6 +156,9 @@ def select_channels(p: int):
     until BOTH have headroom >= _H_MIN.  Host-only; also used by key-build
     code that needs the moduli as Python ints without reading the device
     arrays back (scheme._win_rns)."""
+    if p <= 1:
+        raise ValueError(f"select_channels needs a modulus > 1, got {p} "
+                         "(a MontCtx without p_host?)")
     primes = _primes_desc()
     A, B, k = 1, 1, 0
     target = p * _H_MIN

@@ -469,13 +469,14 @@ def _golden_bsgs(csk, gsk, op, inv, identity, msg_space: int) -> Optional[int]:
     import math
     if csk == identity:
         return 0
-    bound_t = int(math.ceil(math.sqrt(float(msg_space)))) + 1
+    # exact ceil(sqrt()) via isqrt (float sqrt drifts beyond 2^53)
+    bound = math.isqrt(msg_space - 1) + 1 if msg_space > 1 else 1
+    bound_t = bound + 1
     table = {}
     aux = gsk
     for j in range(bound_t + 1):
         table[aux] = j
         aux = op(aux, gsk)
-    bound = int(math.ceil(math.sqrt(float(msg_space))))
     gamma = _golden_pow(gsk, bound, op, identity)
     gamma_inv = inv(gamma)
     for sign in (1, -1):

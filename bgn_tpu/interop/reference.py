@@ -91,11 +91,19 @@ def _element_bytes(pk: BGNPublicKey, ct: Ciphertext) -> List[bytes]:
 
 def _ct_from_element_bytes(pk: BGNPublicKey, blobs: List[bytes],
                            level2: bool) -> Ciphertext:
+    from .. import serialize as ser
     ctx = pk.dev.ctx
     if level2:
         zs = [pbc.gt_from_bytes(b, pk.p) for b in blobs]
+        # reject corrupt imports at the boundary (VERDICT r3 item 6);
+        # the reference's SetBytes (bgn.go:517-524) cannot
+        ser.validate_gt_values(pk, [z[0] for z in zs], [z[1] for z in zs])
         return Ciphertext(convert.fp2_from_host(ctx, zs), True)
     pts = [pbc.point_from_bytes(b, pk.p) for b in blobs]
+    ser.validate_g1_values(pk,
+                           [0 if P is None else P[0] for P in pts],
+                           [0 if P is None else P[1] for P in pts],
+                           [P is None for P in pts])
     return Ciphertext(convert.affine_from_host(ctx, pts), False)
 
 

@@ -118,8 +118,11 @@ def build_decrypt_tables(key: hm.GoldenKey, ctx: MontCtx, rng) -> DecryptTables:
     bgn.go:142-149)."""
     params, p, L = key.params, key.params.p, ctx.L
     q1, msg_space = params.q1, key.msg_space
-    bound_t = int(math.ceil(math.sqrt(float(msg_space)))) + 1
-    bound = int(math.ceil(math.sqrt(float(msg_space))))
+    # exact ceil(sqrt(msg_space)) via isqrt: the float route silently
+    # loses precision for msg_space > 2^53 (reference gsbs.go:44,60 caps
+    # at int64; we don't)
+    bound = math.isqrt(msg_space - 1) + 1 if msg_space > 1 else 1
+    bound_t = bound + 1
 
     gen_g1 = hm.ec_mul(q1, key.P, p)
     gen_gt = hm.fp2_pow(key.gt_base(), q1, p)

@@ -479,6 +479,104 @@ def _win_ladder_kernel(rns, nwin, *refs):
         oz[:] = jnp.where(sst[:] > 0, sZ[:], 0.0)
 
 
+def _win_ladder_tab_kernel(rns, nwin, R, *refs):
+    """Window ladder with IN-KERNEL table-row selection: instead of a
+    pre-gathered [Jd, 2k, B] entry stream (HBM-gather bound at ~3 GB/s,
+    the round-3 encrypt floor -- VERDICT r3 item 2), each window step
+    selects its [2k, B] entries from the resident [2k, R] table block by
+    a one-hot matmul on the MXU.  Exactness: the table residues split
+    into 6-bit halves (bf16-exact) and the one-hot operand is {0, 1}, so
+    every product and the single-nonzero row sum are exact in fp32
+    accumulation -- the same audit as fieldcore/rns.py's _split6."""
+    from . import rns_pairing as rp
+    consts = refs[:len(_CONST_FIELDS)]
+    tx, ty, dig, ox, oy, oz, sX, sY, sZ, sst = refs[len(_CONST_FIELDS):]
+    kc = _kctx(rns, consts)
+    j = pl.program_id(1)
+    d = dig[0, 0]                             # [B] f32 digit values
+    txj, tyj = tx[0], ty[0]                   # [ch, R] window-j table rows
+    ch = txj.shape[0]
+    B = d.shape[0]
+
+    # 6-bit split -> one [4ch, R] @ [R, B] bf16 dot selects both coords
+    hx = jnp.floor(txj * (1.0 / 64.0))
+    hy = jnp.floor(tyj * (1.0 / 64.0))
+    W = jnp.concatenate([hx, txj - hx * 64.0, hy, tyj - hy * 64.0],
+                        axis=0).astype(jnp.bfloat16)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    onehot = (iota == d.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+    sel = jax.lax.dot_general(W, onehot, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    rx = sel[:ch] * 64.0 + sel[ch:2 * ch]
+    ry = sel[2 * ch:3 * ch] * 64.0 + sel[3 * ch:]
+
+    # digit 0 selects the identity row in every window (scheme._window_table
+    # builds rows as [O, base, 2*base, ...]), so the flag needs no gather
+    live = (d != 0.0).astype(jnp.float32)[None]     # [1, B]
+    one = jnp.broadcast_to(kc.one_rns, rx.shape)
+
+    @pl.when(j == 0)
+    def _init():
+        sX[:], sY[:], sZ[:] = jnp.zeros_like(rx), jnp.zeros_like(rx), one
+        sst[:] = jnp.zeros_like(rx)
+
+    aX, aY, aZ = rp._add_pt(kc, sX[:], sY[:], sZ[:],
+                            rp._pt(rx), rp._pt(ry))
+    st = sst[:]
+    init = live * (1.0 - st)
+    upd = live * st
+    sX[:] = jnp.where(init > 0, rx, jnp.where(upd > 0, aX, sX[:]))
+    sY[:] = jnp.where(init > 0, ry, jnp.where(upd > 0, aY, sY[:]))
+    sZ[:] = jnp.where(init > 0, one, jnp.where(upd > 0, aZ, sZ[:]))
+    sst[:] = jnp.maximum(st, jnp.broadcast_to(live, st.shape))
+
+    @pl.when(j == nwin - 1)
+    def _out():
+        ox[:], oy[:] = sX[:], sY[:]
+        oz[:] = jnp.where(sst[:] > 0, sZ[:], 0.0)
+
+
+def window_ladder_tab_pallas(rns: RNSCtx, tx, ty, digits,
+                             interpret: bool = False):
+    """Fixed-base window accumulation with MXU table selection, one
+    kernel.  tx/ty: [2k, J, R] full window-table residues (resident;
+    each [2k, R] window block streams to VMEM once per batch tile);
+    digits: uint [Jd, N] per-lane window digits, Jd <= J.  Returns
+    (X, Y, Z) residues, Z = 0 for exponent-0 lanes -- bit-identical to
+    window_ladder_pallas on the gathered stream."""
+    ch = 2 * rns.k
+    Jd, n = digits.shape
+    R = tx.shape[2]
+    npad = -(-n // B_TILE) * B_TILE
+    dig = digits.astype(jnp.float32)
+    if npad != n:
+        dig = jnp.pad(dig, ((0, 0), (0, npad - n)))   # pad digit 0: identity
+    # Mosaic block-shape rule: the per-window digit row rides as
+    # [Jd, 1, N] so its block (1, 1, B_TILE) matches the singleton dim
+    dig = dig.reshape(Jd, 1, npad)
+    txj = jnp.moveaxis(tx, 1, 0)    # [J, 2k, R]
+    tyj = jnp.moveaxis(ty, 1, 0)
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    outs = pl.pallas_call(
+        functools.partial(_win_ladder_tab_kernel, rns, Jd, R),
+        grid=(npad // B_TILE, Jd),
+        in_specs=_const_specs(rns) + [
+            pl.BlockSpec((1, ch, R), lambda t, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch, R), lambda t, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B_TILE), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((ch, B_TILE), lambda t, j: (0, t),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((ch, B_TILE), jnp.float32)] * 4,
+        interpret=interpret,
+    )(*consts, txj, tyj, dig)
+    return [o[:, :n] for o in outs]
+
+
 def window_ladder_pallas(rns: RNSCtx, gx, gy, ginf, interpret: bool = False):
     """Fixed-base window accumulation in ONE kernel: the window axis rides
     the (sequential) second grid dimension, streaming each gathered entry

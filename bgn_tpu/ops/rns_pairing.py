@@ -260,22 +260,24 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
     tx, ty = table_rns
     Jd, B = digits.shape
     ch = tx.shape[0]
-    jidx = jnp.arange(Jd, dtype=jnp.int32).reshape(Jd, 1)
-    d = digits.astype(jnp.int32)
-    gx = jnp.moveaxis(tx[:, jidx, d], 1, 0)        # [Jd, 2k, B]
-    gy = jnp.moveaxis(ty[:, jidx, d], 1, 0)
-    ginf = table_inf[jidx, d].astype(jnp.uint32)   # [Jd, B]
 
     kind, interp = _mode()
     if kind == "loop":
-        # whole ladder in one kernel (window axis on a sequential grid
-        # dim; accumulator in VMEM scratch); Z comes back as zero
-        # residues for e = 0 lanes, so no separate started mask
+        # whole ladder in one kernel with IN-KERNEL table selection (the
+        # one-hot MXU dot in pallas_rns._win_ladder_tab_kernel): no
+        # [Jd, 2k, B] gathered entry stream ever touches HBM -- the
+        # round-3 encrypt path was gather-bound at ~3 GB/s there.  Z
+        # comes back as zero residues for e = 0 lanes.
         from . import pallas_rns
-        X, Y, Z = pallas_rns.window_ladder_pallas(
-            rns, gx, gy, ginf.astype(jnp.float32), interpret=interp)
+        X, Y, Z = pallas_rns.window_ladder_tab_pallas(
+            rns, tx, ty, digits, interpret=interp)
         started = None
     else:
+        jidx = jnp.arange(Jd, dtype=jnp.int32).reshape(Jd, 1)
+        d = digits.astype(jnp.int32)
+        gx = jnp.moveaxis(tx[:, jidx, d], 1, 0)        # [Jd, 2k, B]
+        gy = jnp.moveaxis(ty[:, jidx, d], 1, 0)
+        ginf = table_inf[jidx, d].astype(jnp.uint32)   # [Jd, B]
         if kind == "step":
             from . import pallas_rns
 
@@ -415,6 +417,96 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits, raw=False):
     # identity base -> identity result (Z = 0), as in curve.scalar_mul
     Zl = jnp.where(base.inf.astype(bool)[None], jnp.zeros_like(Zl), Zl)
     return JacPoint(Xl, Yl, Zl)
+
+
+def scalar_mul_vec_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
+    """base^k with a PER-ELEMENT exponent column: base AffinePoint
+    [L, *batch], bits uint [nbits, *batch] MSB-first plain bits (k >= 0).
+    The RNS MultConstant path (reference MultConst, bgn.go:253-291).
+
+    Safety of the incomplete mixed additions (_add_pt), proven statically:
+    a started lane's state is c*base with c = value of the consumed bits;
+    at every add step c has just been doubled, so c is even with
+    2 <= c < 2^nbits.  A degenerate addition needs c == +-1 (mod
+    ord(base)); ord(base) divides n and is >= min(q1, q2) for non-identity
+    ciphertext points, so when 2^nbits < min(q1, q2) neither congruence
+    can hold (c != 1 since c even, c != ord-1 since c < ord).  The caller
+    (scheme.mult_const) guarantees nbits <= key_bits//2 - 2 and routes
+    larger exponents through the complete limb ladder.
+
+    Returns a limb-Montgomery JacPoint; k = 0 and identity-base lanes
+    come back with Z = 0 (the identity), matching curve.scalar_mul."""
+    from .curve import JacPoint
+    batch_shape = base.x.shape[1:]
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+
+    ax = rn.to_rns_mont(rns, base.x.reshape(ctx.L, flat))
+    ay = rn.to_rns_mont(rns, base.y.reshape(ctx.L, flat))
+    one = rn.r_one(rns, (flat,))
+    X0 = ax.v
+    Y0 = ay.v
+    Z0 = jnp.broadcast_to(one.v, ax.v.shape)
+    bits2 = bits.reshape(bits.shape[0], flat).astype(jnp.uint32)
+
+    def step(carry, b):
+        X, Y, Z, started = carry
+        dX, dY, dZ = _dbl_pt(rns, X, Y, Z)
+        aX, aY, aZ = _add_pt(rns, dX, dY, dZ, _pt(ax.v), _pt(ay.v))
+        bb = b.astype(bool)
+        st = started.astype(bool)
+        newly = (~st) & bb
+
+        def sel3(m, u, v):
+            return jnp.where(m[None], u, v)
+
+        X2 = sel3(st, jnp.where(bb[None], aX, dX), sel3(newly, ax.v, X))
+        Y2 = sel3(st, jnp.where(bb[None], aY, dY), sel3(newly, ay.v, Y))
+        Z2 = sel3(st, jnp.where(bb[None], aZ, dZ), sel3(newly, Z0, Z))
+        return (X2, Y2, Z2, started | b), None
+
+    carry0 = (X0, Y0, Z0, jnp.zeros((flat,), jnp.uint32))
+    (X, Y, Z, started), _ = jax.lax.scan(step, carry0, bits2)
+
+    Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
+    Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
+    Zl = rn.from_rns_mont(rns, RVal(Z, _BZ)).reshape((ctx.L,) + batch_shape)
+    dead = (~started.astype(bool)) | base.inf.reshape(-1).astype(bool)
+    Zl = jnp.where(dead.reshape(batch_shape)[None], jnp.zeros_like(Zl), Zl)
+    return JacPoint(Xl, Yl, Zl)
+
+
+def fp2_pow_vec_rns(ctx: MontCtx, rns: RNSCtx, z, bits):
+    """z^k with a per-element exponent column for GT elements
+    (limb [2, L, *batch] in/out; bits uint [nbits, *batch] MSB-first).
+    The RNS L2 MultConstant path -- field muls are complete, so unlike
+    the G1 variant this needs no order-bound precondition."""
+    batch_shape = z.shape[2:]
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+    zr = rn.to_rns_mont(rns, z[0].reshape(ctx.L, flat))
+    zi = rn.to_rns_mont(rns, z[1].reshape(ctx.L, flat))
+    one = rn.r_one(rns, (flat,))
+    acc0 = (jnp.broadcast_to(one.v, zr.v.shape), jnp.zeros_like(zr.v))
+    bits2 = bits.reshape(bits.shape[0], flat)
+
+    def step(acc, b):
+        a = (RVal(acc[0], 9), RVal(acc[1], 9))
+        sq = _fp2_sqr(rns, a)
+        mu = _fp2_mul(rns, (sq[0], sq[1]), (zr, zi))
+        assert mu[0].bound <= 9 and mu[1].bound <= 9
+        sel = b.astype(bool)[None]
+        return (jnp.where(sel, mu[0].v, sq[0].v),
+                jnp.where(sel, mu[1].v, sq[1].v)), None
+
+    (ar, ai), _ = jax.lax.scan(step, acc0, bits2)
+    out_re = rn.from_rns_mont(rns, RVal(ar, 9)) \
+        .reshape((ctx.L,) + batch_shape)
+    out_im = rn.from_rns_mont(rns, RVal(ai, 9)) \
+        .reshape((ctx.L,) + batch_shape)
+    return jnp.stack([out_re, out_im], axis=0)
 
 
 def fp2_pow_rns(ctx: MontCtx, rns: RNSCtx, z, digits, unitary=False,

@@ -211,41 +211,68 @@ def mult_const_poly(pk: BGNPublicKey, pct: PolyCiphertext, constant,
     return res
 
 
+def _skew_index(d1: int, d2: int):
+    """Convolution skew: row i's entry k lands at output j = i + k.
+    Returns (kkc [d1, d1+d2] clamped gather indices, valid mask)."""
+    D = d1 + d2
+    jidx = np.arange(D)[None, :]
+    kk = jidx - np.arange(d1)[:, None]
+    valid = (kk >= 0) & (kk < d2)
+    return jnp.asarray(np.clip(kk, 0, d2 - 1)), jnp.asarray(valid)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _poly_accumulate_l2(dev, prods, d1: int, d2: int):
-    """prods [2, L, d1*d2] -> diagonal products [2, L, d1+d2] in GT."""
+    """prods [2, L, d1*d2] -> diagonal products [2, L, d1+d2] in GT.
+
+    O(1) trace in the degrees (VERDICT r3 item 7; the previous
+    Python-unrolled dynamic-slice loop traced d1 iterations, untenable at
+    the reference's degreeBound=128, plaintext.go:11): each row is
+    skew-gathered to its output offset (identity-padded) and one lax.scan
+    of batched GT muls folds the d1 rows."""
     ctx = dev.ctx
-    out = fp2.one(ctx, (d1 + d2,))
-    prods = prods.reshape(2, ctx.L, d1, d2)
-    for i in range(d1):
-        row = prods[:, :, i]                        # [2, L, d2]
-        seg = jax.lax.dynamic_slice_in_dim(out, i, d2, axis=2)
-        seg = fp2.mul(ctx, seg, row)
-        out = jax.lax.dynamic_update_slice_in_dim(out, seg, i, axis=2)
+    D = d1 + d2
+    rows = jnp.moveaxis(prods.reshape(2, ctx.L, d1, d2), 2, 0)  # [d1,2,L,d2]
+    kkc, valid = _skew_index(d1, d2)
+    gathered = jnp.take_along_axis(rows, kkc[:, None, None, :], axis=3)
+    one = fp2.one(ctx, (D,))
+    shifted = jnp.where(valid[:, None, None, :], gathered, one[None])
+
+    def step(acc, row):
+        return fp2.mul(ctx, acc, row), None
+
+    out, _ = jax.lax.scan(step, one, shifted)
     return out
 
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _poly_accumulate_l1(dev, prods: cv.AffinePoint, d1: int, d2: int):
-    """prods AffinePoint [L, d1*d2] -> diagonal sums [L, d1+d2] in G1."""
+    """prods AffinePoint [L, d1*d2] -> diagonal sums [L, d1+d2] in G1.
+
+    Same skew-gather + scan shape as the GT variant; the accumulator
+    stays Jacobian across the scan (complete madd) and normalizes ONCE
+    at the end (the old loop paid d1 batch inversions)."""
     ctx = dev.ctx
-    out = cv.affine_infinity(ctx, (d1 + d2,))
-    px = prods.x.reshape(ctx.L, d1, d2)
-    py = prods.y.reshape(ctx.L, d1, d2)
+    D = d1 + d2
+    px = jnp.moveaxis(prods.x.reshape(ctx.L, d1, d2), 1, 0)     # [d1, L, d2]
+    py = jnp.moveaxis(prods.y.reshape(ctx.L, d1, d2), 1, 0)
     pinf = prods.inf.reshape(d1, d2)
-    for i in range(d1):
-        row = cv.AffinePoint(px[:, i], py[:, i], pinf[i])
-        seg = cv.AffinePoint(
-            jax.lax.dynamic_slice_in_dim(out.x, i, d2, axis=1),
-            jax.lax.dynamic_slice_in_dim(out.y, i, d2, axis=1),
-            jax.lax.dynamic_slice_in_dim(out.inf, i, d2, axis=0))
-        seg = cv.normalize(ctx, cv.add_affine(ctx, seg, row),
-                           rns=dev.rns)
-        out = cv.AffinePoint(
-            jax.lax.dynamic_update_slice_in_dim(out.x, seg.x, i, axis=1),
-            jax.lax.dynamic_update_slice_in_dim(out.y, seg.y, i, axis=1),
-            jax.lax.dynamic_update_slice_in_dim(out.inf, seg.inf, i, axis=0))
-    return out
+    kkc, valid = _skew_index(d1, d2)
+    gx = jnp.take_along_axis(px, kkc[:, None, :], axis=2)       # [d1, L, D]
+    gy = jnp.take_along_axis(py, kkc[:, None, :], axis=2)
+    ginf = jnp.take_along_axis(pinf, kkc, axis=1)               # [d1, D]
+    ginf = jnp.where(valid, ginf, jnp.uint32(1))   # out-of-window: identity
+    zero = jnp.zeros_like(gx)
+    gx = jnp.where(valid[:, None, :], gx, zero)
+    gy = jnp.where(valid[:, None, :], gy, zero)
+
+    def step(v, row):
+        rx, ry, rinf = row
+        return cv.madd(ctx, v, cv.AffinePoint(rx, ry, rinf)), None
+
+    v0 = cv.jac_infinity(ctx, (D,))
+    v, _ = jax.lax.scan(step, v0, (gx, gy, ginf))
+    return cv.normalize(ctx, v, rns=dev.rns)
 
 
 # ---------------------------------------------------------------------------
@@ -255,11 +282,25 @@ def _poly_accumulate_l1(dev, prods: cv.AffinePoint, d1: int, d2: int):
 
 def eval_poly(pk: BGNPublicKey, pct: PolyCiphertext,
               rng=None) -> Ciphertext:
-    """Homomorphic Horner collapse to one ciphertext (EvalPoly,
-    poly.go:58-68): acc = acc*base + coeff_i from the top coefficient."""
-    acc = pk.encrypt_deterministic([0])
+    """Homomorphic collapse to one ciphertext (EvalPoly, poly.go:58-68).
+
+    The reference's Horner loop is 2*degree sequential scalar ops; since
+    the group is abelian the same element is sum_i base^i * C_i, computed
+    here as ONE batched MultConst (host powers base^i) plus a log2(degree)
+    pairwise-add tree -- identical group element (bit-identical in
+    deterministic mode), O(log degree) kernel launches (VERDICT r3
+    item 7)."""
+    d = pct.degree
+    if d == 0:
+        return pk.encrypt_deterministic([0])
     base = pk.poly_params.poly_base
-    for i in range(pct.degree - 1, -1, -1):
-        acc = pk.mult_const(acc, base, rng=rng)
-        acc = pk.add(acc, pct.ct[i:i + 1], rng=rng)
-    return acc
+    ks = [pow(base, i, pk.n) for i in range(d)]
+    cur = pk.mult_const(pct.ct, ks, rng=rng)
+    n = d
+    while n > 1:
+        half = n // 2
+        s = pk.add(cur[0:half], cur[half:2 * half], rng=rng)
+        if n % 2:
+            s = _concat_ct(pk, s, cur[2 * half:n], cur.level2)
+        cur, n = s, half + (n % 2)
+    return cur

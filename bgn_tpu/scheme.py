@@ -207,16 +207,26 @@ class BGNPublicKey:
     def mult_const(self, a: "Ciphertext", ks, rng=None) -> "Ciphertext":
         """Multiply by plaintext constant(s): C^k (MultConst, bgn.go:253).
 
-        ks: scalar or [batch] ints (negative allowed, via inversion)."""
+        ks: scalar or [batch] ints (negative allowed, via inversion).
+
+        Fast path: per-element RNS/MXU ladders (rns_pairing.
+        scalar_mul_vec_rns / fp2_pow_vec_rns).  The G1 ladder's incomplete
+        additions are provably safe only while 2^nbits < min(q1, q2)
+        (see its docstring); exponents wider than key_bits//2 - 2 bits
+        (possible only for |k| ~ n) take the complete limb ladder."""
         ks = _const_list(ks, a.batch_shape)
         k_bits, k_neg = _signed_bits(ks, self.n)
+        rns_ok = (pairing_mod.use_rns(self.dev.rns)
+                  and k_bits.shape[0] <= self.key_bits // 2 - 2)
         if a.level2:
-            out = _mult_const_l2_kernel(self.dev, a.data, k_bits,
-                                        jnp.asarray(k_neg))
+            kern = (_mult_const_l2_rns_kernel
+                    if pairing_mod.use_rns(self.dev.rns)
+                    else _mult_const_l2_kernel)
+            out = kern(self.dev, a.data, k_bits, jnp.asarray(k_neg))
             out = self._rerandomize_l2(out, rng)
             return Ciphertext(out, level2=True)
-        out = _mult_const_l1_kernel(self.dev, a.data, k_bits,
-                                    jnp.asarray(k_neg))
+        kern = _mult_const_l1_rns_kernel if rns_ok else _mult_const_l1_kernel
+        out = kern(self.dev, a.data, k_bits, jnp.asarray(k_neg))
         out = self._rerandomize_l1(out, rng)
         return Ciphertext(out, level2=False)
 
@@ -419,17 +429,54 @@ def keygen(key_bits: int, msg_space: int, poly_base: int = 3,
     return pk, sk
 
 
+def validate_public_key_parts(n: int, l: int, p: int,
+                              P_host, Q_host) -> None:
+    """Structural A1 invariants for loaded key material (VERDICT r3
+    item 6): p = l*n - 1 prime with p == 3 (mod 4), l == 0 (mod 4),
+    generators on-curve with coordinates < p and annihilated by n.
+    The reference's SetBytes path (bgn.go:501-560) cannot check any of
+    this; a corrupted/hostile key file here raises instead of silently
+    decrypting garbage.  (Membership of Q in the order-q1 subgroup needs
+    the secret factorization -- interop.conformance covers it.)"""
+    if p != l * n - 1:
+        raise ValueError("invalid key: p != l*n - 1")
+    if p % 4 != 3:
+        raise ValueError("invalid key: p != 3 (mod 4)")
+    if l % 4 != 0 or l <= 0:
+        raise ValueError("invalid key: cofactor l not a positive "
+                         "multiple of 4")
+    if not hm.is_probable_prime(p):
+        raise ValueError("invalid key: p is not prime")
+    for name, pt in (("P", P_host), ("Q", Q_host)):
+        if pt is None:
+            raise ValueError(f"invalid key: generator {name} is the "
+                             "identity")
+        x, y = pt
+        if not (0 <= x < p and 0 <= y < p):
+            raise ValueError(f"invalid key: {name} coordinate >= p")
+        if not hm.on_curve((x, y), p):
+            raise ValueError(f"invalid key: {name} not on the curve")
+        if hm.ec_mul(n, (x, y), p) is not None:
+            raise ValueError(f"invalid key: {name} order does not "
+                             "divide n")
+
+
 def public_key_from_parts(key_bits: int, n: int, l: int, p: int,
                           msg_space: int, deterministic: bool,
                           poly_params: PolyEncodingParams,
                           P_host: Tuple[int, int],
                           Q_host: Tuple[int, int],
-                          n_digits: str | None = None) -> BGNPublicKey:
+                          n_digits: str | None = None,
+                          validate: bool = True) -> BGNPublicKey:
     """Rebuild a full public key (device context included) from its host
     parts -- the shared path for deserialization (serialize.py) and
     reference import (interop/reference.py).  Mirrors the pairing
-    re-binding the reference does in UnmarshalBinary (bgn.go:626-666)."""
+    re-binding the reference does in UnmarshalBinary (bgn.go:626-666),
+    plus load-time invariant checks the reference lacks (validate=False
+    to skip, e.g. for material already validated this process)."""
     from . import encoding
+    if validate:
+        validate_public_key_parts(n, l, p, P_host, Q_host)
     L = lb.num_limbs_for_bits(max(key_bits + _L_MARGIN_BITS,
                                   p.bit_length()))
     ctx = mg.make_mont_ctx(p, L=L)
@@ -507,7 +554,10 @@ def _win_rns(ctx, rns, table, rows=None):
     # All constants recomputed host-side from p (channel selection is
     # deterministic): reading rns.m / rns.pow2_8 / ctx.p back from a
     # tunneled TPU costs seconds per array (montgomery.MontCtx.p_host).
-    p = ctx.p_host
+    # p_host == 0 means a MontCtx built outside make_mont_ctx (e.g. an
+    # old pickle): fall back to the limb readback rather than silently
+    # building zero-channel residues (select_channels rejects p <= 1).
+    p = ctx.p_host or lb.limbs_to_int(np.asarray(ctx.p))
     from .fieldcore import rns as rn
     A_list, B_list, _ = rn.select_channels(p)
     m = np.array(A_list + B_list, dtype=np.int64)           # [2k]
@@ -800,6 +850,25 @@ def _mult_const_l1_kernel(dev, a: cv.AffinePoint, k_bits, k_neg):
 def _mult_const_l2_kernel(dev, a, k_bits, k_neg):
     ctx = dev.ctx
     r = fp2.pow_bits(ctx, a, k_bits)
+    return fp2.select(k_neg, fp2.conj(ctx, r), r)
+
+
+@jax.jit
+def _mult_const_l1_rns_kernel(dev, a: cv.AffinePoint, k_bits, k_neg):
+    """MultConst fast path: per-element RNS double-and-add (VERDICT r3
+    item 3); bit-identical to _mult_const_l1_kernel on its safe domain."""
+    from .ops import rns_pairing
+    ctx = dev.ctx
+    r = rns_pairing.scalar_mul_vec_rns(ctx, dev.rns, a, k_bits)
+    r = cv.JacPoint(r.X, lb.select(k_neg, mg.mod_neg(ctx, r.Y), r.Y), r.Z)
+    return cv.normalize(ctx, r, rns=dev.rns)
+
+
+@jax.jit
+def _mult_const_l2_rns_kernel(dev, a, k_bits, k_neg):
+    from .ops import rns_pairing
+    ctx = dev.ctx
+    r = rns_pairing.fp2_pow_vec_rns(ctx, dev.rns, a, k_bits)
     return fp2.select(k_neg, fp2.conj(ctx, r), r)
 
 

@@ -55,3 +55,20 @@ def _clear_jax_caches_between_modules():
     file in its own process as the fully isolated path."""
     yield
     jax.clear_caches()
+
+
+@pytest.fixture(scope="session")
+def shared_keypair():
+    """ONE 160-bit keypair + decrypt tables shared across test modules
+    (VERDICT r3 item 8): MontCtx.p_host is a static pytree field, so the
+    jit AND persistent caches are keyed by key VALUE -- per-module random
+    keys defeated both and re-traced every kernel per module.  Reference
+    test constants otherwise (bgn_test.go:8-13, at 160-bit for CPU
+    speed)."""
+    import random
+
+    from bgn_tpu import scheme
+    rng = random.Random(1602024)
+    pk, sk = scheme.keygen(160, 1021, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+    return pk, sk, tables

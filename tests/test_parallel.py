@@ -17,11 +17,8 @@ MSG_SPACE = 1021
 
 
 @pytest.fixture(scope="module")
-def keypair():
-    rng = random.Random(808)
-    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
-    return pk, sk, tables
+def keypair(shared_keypair):
+    return shared_keypair
 
 
 def test_mesh_has_8_devices():
@@ -74,3 +71,52 @@ def test_giant_step_sharded_gt_decrypt(keypair):
     vals, ok = sh.decrypt_gt_sharded(pk, sk, tables, negs, mesh)
     assert list(ok) == [True] * len(ms)
     assert list(vals) == [-w for w in want]
+
+
+def test_giant_step_sharded_g1_decrypt(keypair):
+    """The G1 (level-1) giant-step-sharded path, incl. negatives and 0."""
+    pk, sk, tables = keypair
+    mesh = make_mesh()
+    ms = [0, 1, 12, 900, -33, -1000]
+    ct = pk.encrypt(ms)
+    vals, ok = sh.decrypt_g1_sharded(pk, sk, tables, ct, mesh)
+    assert list(ok) == [True] * len(ms)
+    assert list(vals) == ms
+
+
+def test_giant_step_sharded_rns_matches_single_chip(monkeypatch):
+    """The RNS-domain sharded scans (_bsgs_g1_rns_sharded /
+    _bsgs_gt_rns_sharded, VERDICT r3 item 4) return bit-identical
+    (values, found) to the single-chip RNS decrypt kernels, both groups,
+    incl. zero / negative / out-of-range lanes."""
+    from bgn_tpu.ops import pairing as pairing_mod
+
+    jax.clear_caches()
+    monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
+    rng = random.Random(64)
+    pk, sk = scheme.keygen(64, 101, rng=rng)
+    tables = pk.setup_decryption(sk, rng=rng)
+    mesh = make_mesh()
+
+    ms = [0, 1, 7, 100, -5, -100, 42, 3]
+    ct = pk.encrypt(ms, rng=rng)
+    l2 = pk.make_l2(ct)
+    # out-of-range lane: m*k beyond the BSGS range must report found=False
+    big = pk.mult(pk.encrypt([50], rng=rng), pk.encrypt([50], rng=rng))
+
+    v1, ok1 = sk.decrypt_with_status(ct, pk, tables)
+    w1, okw1 = sk.decrypt_with_status(l2, pk, tables)
+    b1, okb1 = sk.decrypt_with_status(big, pk, tables)
+
+    v2, ok2 = sh.decrypt_g1_sharded(pk, sk, tables, ct, mesh)
+    w2, okw2 = sh.decrypt_gt_sharded(pk, sk, tables, l2, mesh)
+    b2, okb2 = sh.decrypt_gt_sharded(pk, sk, tables, big, mesh)
+    jax.clear_caches()
+
+    assert list(v1) == list(v2) == ms
+    assert list(ok1) == list(ok2) == [True] * len(ms)
+    assert list(w1) == list(w2) == ms
+    assert list(okw1) == list(okw2) == [True] * len(ms)
+    assert list(okb1) == list(okb2) == [False]
+    # the value of a not-found lane is unspecified (the reference raises
+    # there, bgn.go:205-207); only the found flag must agree

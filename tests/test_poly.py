@@ -13,11 +13,8 @@ MSG_SPACE = 1021
 
 
 @pytest.fixture(scope="module")
-def keypair():
-    rng = random.Random(31337)
-    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, 3, 3, 0.0001, True, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
-    return pk, sk, tables
+def keypair(shared_keypair):
+    return shared_keypair
 
 
 def approx1(a, b):

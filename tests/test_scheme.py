@@ -18,11 +18,8 @@ MSG_SPACE = 1021
 
 
 @pytest.fixture(scope="module")
-def keypair():
-    rng = random.Random(2024)
-    pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
-    return pk, sk, tables
+def keypair(shared_keypair):
+    return shared_keypair
 
 
 def test_encrypt_decrypt_roundtrip(keypair):
