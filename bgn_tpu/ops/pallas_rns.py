@@ -479,36 +479,33 @@ def _win_ladder_kernel(rns, nwin, *refs):
         oz[:] = jnp.where(sst[:] > 0, sZ[:], 0.0)
 
 
-def _win_ladder_tab_kernel(rns, nwin, R, *refs):
+def _win_ladder_tab_kernel(rns, nwin, R, ch, ch8, *refs):
     """Window ladder with IN-KERNEL table-row selection: instead of a
     pre-gathered [Jd, 2k, B] entry stream (HBM-gather bound at ~3 GB/s,
     the round-3 encrypt floor -- VERDICT r3 item 2), each window step
-    selects its [2k, B] entries from the resident [2k, R] table block by
-    a one-hot matmul on the MXU.  Exactness: the table residues split
-    into 6-bit halves (bf16-exact) and the one-hot operand is {0, 1}, so
-    every product and the single-nonzero row sum are exact in fp32
-    accumulation -- the same audit as fieldcore/rns.py's _split6."""
+    selects its [2k, B] entries from the resident selection matrix by a
+    one-hot matmul on the MXU.  The matrix is precomputed at key build
+    (scheme._win_sel_matrix / rns_pairing.make_rns_window_table):
+    residues split into 6-bit halves (bf16-exact), quarters 8-sublane
+    aligned so the row slices below never relayout.  Exactness: the
+    one-hot operand is {0, 1} and every product/row-sum is a single
+    nonzero term in fp32 accumulation -- the same audit as
+    fieldcore/rns.py's _split6."""
     from . import rns_pairing as rp
     consts = refs[:len(_CONST_FIELDS)]
-    tx, ty, dig, ox, oy, oz, sX, sY, sZ, sst = refs[len(_CONST_FIELDS):]
+    w, dig, ox, oy, oz, sX, sY, sZ, sst = refs[len(_CONST_FIELDS):]
     kc = _kctx(rns, consts)
     j = pl.program_id(1)
     d = dig[0, 0]                             # [B] f32 digit values
-    txj, tyj = tx[0], ty[0]                   # [ch, R] window-j table rows
-    ch = txj.shape[0]
+    W = w[0]                                  # [4ch8, R] bf16 window block
     B = d.shape[0]
 
-    # 6-bit split -> one [4ch, R] @ [R, B] bf16 dot selects both coords
-    hx = jnp.floor(txj * (1.0 / 64.0))
-    hy = jnp.floor(tyj * (1.0 / 64.0))
-    W = jnp.concatenate([hx, txj - hx * 64.0, hy, tyj - hy * 64.0],
-                        axis=0).astype(jnp.bfloat16)
     iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
     onehot = (iota == d.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
     sel = jax.lax.dot_general(W, onehot, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    rx = sel[:ch] * 64.0 + sel[ch:2 * ch]
-    ry = sel[2 * ch:3 * ch] * 64.0 + sel[3 * ch:]
+    rx = sel[0:ch] * 64.0 + sel[ch8:ch8 + ch]
+    ry = sel[2 * ch8:2 * ch8 + ch] * 64.0 + sel[3 * ch8:3 * ch8 + ch]
 
     # digit 0 selects the identity row in every window (scheme._window_table
     # builds rows as [O, base, 2*base, ...]), so the flag needs no gather
@@ -536,17 +533,17 @@ def _win_ladder_tab_kernel(rns, nwin, R, *refs):
         oz[:] = jnp.where(sst[:] > 0, sZ[:], 0.0)
 
 
-def window_ladder_tab_pallas(rns: RNSCtx, tx, ty, digits,
+def window_ladder_tab_pallas(rns: RNSCtx, wsel, ch: int, digits,
                              interpret: bool = False):
     """Fixed-base window accumulation with MXU table selection, one
-    kernel.  tx/ty: [2k, J, R] full window-table residues (resident;
-    each [2k, R] window block streams to VMEM once per batch tile);
+    kernel.  wsel: bf16 [J, 4*ch8, R] precomputed selection matrix (each
+    [4ch8, R] window block streams to VMEM once per batch tile);
     digits: uint [Jd, N] per-lane window digits, Jd <= J.  Returns
     (X, Y, Z) residues, Z = 0 for exponent-0 lanes -- bit-identical to
     window_ladder_pallas on the gathered stream."""
-    ch = 2 * rns.k
     Jd, n = digits.shape
-    R = tx.shape[2]
+    C4, R = wsel.shape[1], wsel.shape[2]
+    ch8 = C4 // 4
     npad = -(-n // B_TILE) * B_TILE
     dig = digits.astype(jnp.float32)
     if npad != n:
@@ -554,16 +551,12 @@ def window_ladder_tab_pallas(rns: RNSCtx, tx, ty, digits,
     # Mosaic block-shape rule: the per-window digit row rides as
     # [Jd, 1, N] so its block (1, 1, B_TILE) matches the singleton dim
     dig = dig.reshape(Jd, 1, npad)
-    txj = jnp.moveaxis(tx, 1, 0)    # [J, 2k, R]
-    tyj = jnp.moveaxis(ty, 1, 0)
     consts = [getattr(rns, name) for name in _CONST_FIELDS]
     outs = pl.pallas_call(
-        functools.partial(_win_ladder_tab_kernel, rns, Jd, R),
+        functools.partial(_win_ladder_tab_kernel, rns, Jd, R, ch, ch8),
         grid=(npad // B_TILE, Jd),
         in_specs=_const_specs(rns) + [
-            pl.BlockSpec((1, ch, R), lambda t, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch, R), lambda t, j: (j, 0, 0),
+            pl.BlockSpec((1, C4, R), lambda t, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B_TILE), lambda t, j: (j, 0, t),
                          memory_space=pltpu.VMEM),
@@ -573,7 +566,149 @@ def window_ladder_tab_pallas(rns: RNSCtx, tx, ty, digits,
         out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((ch, B_TILE), jnp.float32)] * 4,
         interpret=interpret,
-    )(*consts, txj, tyj, dig)
+    )(*consts, wsel, dig)
+    return [o[:, :n] for o in outs]
+
+
+def _jac_add_full(kc, X1, Y1, Z1, X2, Y2, Z2):
+    """General Jacobian + Jacobian addition in RNS (both inputs live,
+    neither the identity; degenerate +- equality cases are excluded by
+    the caller's probability argument).  Bound audit inline; returns
+    bounds (12, 6, 3) <= the ladder invariants."""
+    from ..fieldcore import rns as rn
+    from ..fieldcore.rns import RVal
+    x1, y1, z1 = RVal(X1, 27), RVal(Y1, 27), RVal(Z1, 6)
+    x2, y2, z2 = RVal(X2, 27), RVal(Y2, 27), RVal(Z2, 6)
+    Z1Z1, Z2Z2, T1, T2, Z1Z2 = rn.r_mul_many(
+        kc, [(z1, z1), (z2, z2), (y1, z2), (y2, z1), (z1, z2)])
+    U1, U2, S1, S2 = rn.r_mul_many(
+        kc, [(x1, Z2Z2), (x2, Z1Z1), (T1, Z2Z2), (T2, Z1Z1)])
+    H = rn.r_sub(kc, U2, U1)                   # bound 6
+    Rr = rn.r_sub(kc, S2, S1)                  # bound 6
+    HH, RR = rn.r_mul_many(kc, [(H, H), (Rr, Rr)])
+    HHH, V, Z3 = rn.r_mul_many(kc, [(H, HH), (U1, HH), (Z1Z2, H)])
+    X3 = rn.r_sub(kc, rn.r_sub(kc, rn.r_sub(kc, RR, HHH), V), V)  # 12
+    RVX3, S1HHH = rn.r_mul_many(kc, [(Rr, rn.r_sub(kc, V, X3)),
+                                     (S1, HHH)])
+    Y3 = rn.r_sub(kc, RVX3, S1HHH)             # bound 6
+    return X3.v, Y3.v, Z3.v
+
+
+def _dual_ladder_kernel(rns, nwin, Jm, R, ch, ch8, *refs):
+    """BOTH encrypt window chains (P^|m| then Q^r) + the final point
+    addition in ONE kernel: window blocks stream over the sequential
+    grid dim, the two accumulators live in VMEM scratch, and the combine
+    g +- h happens in-kernel -- no intermediate Jacobian points ever
+    round-trip HBM and the separate madd/normalize(h) launches of the
+    split path disappear (the round-4 encrypt fusion).
+
+    Selection is the same one-hot MXU dot as _win_ladder_tab_kernel.
+    m_neg lanes negate the first accumulator's Y before the combine
+    (C = P^-|m| * Q^r).  Identity handling is flag-exact: st1/st2 track
+    whether each chain saw a live window; the general Jacobian addition
+    is degenerate only when P^m == +-Q^r, i.e. m == -+ r*q2*R mod ord --
+    unreachable without solving the discrete log (documented in
+    docs/PERF.md)."""
+    from . import rns_pairing as rp
+    consts = refs[:len(_CONST_FIELDS)]
+    (w, dig, mneg, ox, oy, oz,
+     sX1, sY1, sZ1, st1, sX2, sY2, sZ2, st2) = refs[len(_CONST_FIELDS):]
+    kc = _kctx(rns, consts)
+    j = pl.program_id(1)
+    d = dig[0, 0]                             # [B] f32 digit values
+    W = w[0]                                  # [4ch8, R] bf16 window block
+    B = d.shape[0]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    onehot = (iota == d.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+    sel = jax.lax.dot_general(W, onehot, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    rx = sel[0:ch] * 64.0 + sel[ch8:ch8 + ch]
+    ry = sel[2 * ch8:2 * ch8 + ch] * 64.0 + sel[3 * ch8:3 * ch8 + ch]
+
+    live = (d != 0.0).astype(jnp.float32)[None]     # [1, B]
+    one = jnp.broadcast_to(kc.one_rns, rx.shape)
+
+    @pl.when(j == 0)
+    def _init():
+        z = jnp.zeros_like(rx)
+        sX1[:], sY1[:], sZ1[:], st1[:] = z, z, one, z
+        sX2[:], sY2[:], sZ2[:], st2[:] = z, z, one, z
+
+    def _step(sX, sY, sZ, sst):
+        aX, aY, aZ = rp._add_pt(kc, sX[:], sY[:], sZ[:],
+                                rp._pt(rx), rp._pt(ry))
+        st = sst[:]
+        init = live * (1.0 - st)
+        upd = live * st
+        sX[:] = jnp.where(init > 0, rx, jnp.where(upd > 0, aX, sX[:]))
+        sY[:] = jnp.where(init > 0, ry, jnp.where(upd > 0, aY, sY[:]))
+        sZ[:] = jnp.where(init > 0, one, jnp.where(upd > 0, aZ, sZ[:]))
+        sst[:] = jnp.maximum(st, jnp.broadcast_to(live, st.shape))
+
+    @pl.when(j < Jm)
+    def _chain_m():
+        _step(sX1, sY1, sZ1, st1)
+
+    @pl.when(j >= Jm)
+    def _chain_r():
+        _step(sX2, sY2, sZ2, st2)
+
+    @pl.when(j == nwin - 1)
+    def _combine():
+        # negate g's Y where m < 0 (value 27p - y stays bound 27)
+        negY = kc.kp[:, 27:28] - sY1[:]
+        negY = jnp.where(negY < 0, negY + kc.m, negY)
+        Y1 = jnp.where(mneg[0] > 0, negY, sY1[:])
+        X3, Y3, Z3 = _jac_add_full(kc, sX1[:], Y1, sZ1[:],
+                                   sX2[:], sY2[:], sZ2[:])
+        live1 = st1[:] > 0
+        live2 = st2[:] > 0
+        both = jnp.logical_and(live1, live2)
+        ox[:] = jnp.where(both, X3, jnp.where(live1, sX1[:], sX2[:]))
+        oy[:] = jnp.where(both, Y3, jnp.where(live1, Y1, sY2[:]))
+        oz[:] = jnp.where(both, Z3,
+                          jnp.where(live1, sZ1[:],
+                                    jnp.where(live2, sZ2[:], 0.0)))
+
+
+def dual_ladder_pallas(rns: RNSCtx, wsel, ch: int, Jm: int, digits, m_neg,
+                       interpret: bool = False):
+    """Fused encrypt core: C = P^(+-m) * Q^r as one kernel.
+
+    wsel: bf16 [Jm + Jr, 4*ch8, R] concatenated selection blocks (the
+    first Jm windows from the P table, the rest from the Q table);
+    digits: uint [Jm + Jr, N] window digits (m's then r's); m_neg:
+    uint [N] negate-g mask.  Returns (X, Y, Z) residues with the ladder
+    bound invariants; Z = 0 encodes the identity (m = 0 AND r = 0)."""
+    Jt, n = digits.shape
+    C4, R = wsel.shape[1], wsel.shape[2]
+    ch8 = C4 // 4
+    npad = -(-n // B_TILE) * B_TILE
+    dig = digits.astype(jnp.float32)
+    mn = m_neg.astype(jnp.float32).reshape(1, n)
+    if npad != n:
+        dig = jnp.pad(dig, ((0, 0), (0, npad - n)))
+        mn = jnp.pad(mn, ((0, 0), (0, npad - n)))
+    dig = dig.reshape(Jt, 1, npad)
+    consts = [getattr(rns, name) for name in _CONST_FIELDS]
+    outs = pl.pallas_call(
+        functools.partial(_dual_ladder_kernel, rns, Jt, Jm, R, ch, ch8),
+        grid=(npad // B_TILE, Jt),
+        in_specs=_const_specs(rns) + [
+            pl.BlockSpec((1, C4, R), lambda t, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B_TILE), lambda t, j: (j, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_TILE), lambda t, j: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((ch, B_TILE), lambda t, j: (0, t),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ch, npad), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((ch, B_TILE), jnp.float32)] * 8,
+        interpret=interpret,
+    )(*consts, wsel, dig, mn)
     return [o[:, :n] for o in outs]
 
 

@@ -222,19 +222,43 @@ def _add_pt(rns: RNSCtx, X1, Y1, Z1, ax, ay):
 
 def make_rns_window_table(ctx: MontCtx, rns: RNSCtx, table):
     """Limb-domain fixed-base window table (AffinePoint [L, J, R]) ->
-    RNS residues ([2k, J, R] x, y) for fixed_base_mul_rns.  Runs once at
-    key build; identity entries (digit 0) keep garbage residues and are
-    masked by the table's inf flags during the ladder."""
+    (x, y, wsel): RNS residues [2k, J, R] plus the bf16 selection matrix
+    [J, 4*ch8, R] for fixed_base_mul_rns's MXU lookup (same layout as
+    scheme._win_sel_matrix: 6-bit halves [hi(x); lo(x); hi(y); lo(y)],
+    each quarter 8-sublane aligned).  Runs once at key build; identity
+    entries (digit 0) keep zero/garbage residues and are masked by the
+    digits during the ladder."""
     L = ctx.L
     J, R = table.x.shape[1], table.x.shape[2]
     x = rn.to_rns_mont(rns, table.x.reshape(L, J * R))
     y = rn.to_rns_mont(rns, table.y.reshape(L, J * R))
     ch = x.v.shape[0]
-    return (x.v.reshape(ch, J, R), y.v.reshape(ch, J, R))
+    xv = x.v.reshape(ch, J, R)
+    yv = y.v.reshape(ch, J, R)
+    ch8 = -(-ch // 8) * 8
+
+    def halves(v):
+        hi = jnp.floor(v * (1.0 / 64.0))
+        lo = v - hi * 64.0
+        pad = ((0, ch8 - ch), (0, 0), (0, 0))
+        return jnp.pad(hi, pad), jnp.pad(lo, pad)
+
+    hx, lx = halves(xv)
+    hy, ly = halves(yv)
+    wsel = jnp.moveaxis(jnp.concatenate([hx, lx, hy, ly], axis=0), 1, 0)
+    return (xv, yv, wsel.astype(jnp.bfloat16))
+
+
+def neg_y_rns(rns: RNSCtx, Y, bound: int, mask):
+    """Residues of the negated y-coordinate ((bound*p) - y) where mask,
+    unchanged elsewhere; bound preserved."""
+    t = rns.kp[:, bound:bound + 1] - Y
+    t = jnp.where(t < 0, t + rns.m, t)
+    return jnp.where(mask.astype(bool)[None], t, Y)
 
 
 def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
-                       digits):
+                       digits, raw=False):
     """base^e via a radix-W window table, accumulated in RNS (W =
     scheme._WINDOW_RADIX = 2^w; the table's last axis carries the W
     digit entries, so the radix is a shape property here).
@@ -257,7 +281,7 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
     Replaces the two scalar mults of EncryptWithRandomness
     (bgn.go:344-346) on the RNS fast path."""
     from .curve import JacPoint
-    tx, ty = table_rns
+    tx, ty, wsel = table_rns
     Jd, B = digits.shape
     ch = tx.shape[0]
 
@@ -270,7 +294,12 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
         # comes back as zero residues for e = 0 lanes.
         from . import pallas_rns
         X, Y, Z = pallas_rns.window_ladder_tab_pallas(
-            rns, tx, ty, digits, interpret=interp)
+            rns, wsel, ch, digits, interpret=interp)
+        if raw:
+            # raw RNS result for normalize_rns consumers: Z is exact 0.0
+            # residues on e = 0 lanes (the kernel writes them), which is
+            # precisely normalize_rns's identity encoding
+            return RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
         started = None
     else:
         jidx = jnp.arange(Jd, dtype=jnp.int32).reshape(Jd, 1)
@@ -311,6 +340,10 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
         carry0 = (zeros, zeros, jnp.broadcast_to(one.v, (ch, B)),
                   jnp.zeros((B,), jnp.uint32))
         (X, Y, Z, started), _ = jax.lax.scan(step, carry0, (gx, gy, ginf))
+        if raw:
+            Z = jnp.where(started.astype(bool)[None], Z,
+                          jnp.zeros_like(Z))
+            return RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
 
     Xl = rn.from_rns_mont(rns, rn.RVal(X, _BX))
     Yl = rn.from_rns_mont(rns, rn.RVal(Y, _BY))
@@ -319,6 +352,50 @@ def fixed_base_mul_rns(ctx: MontCtx, rns: RNSCtx, table_rns, table_inf,
         # e = 0 (no live window): the identity, Z = 0
         Zl = jnp.where(started.astype(bool)[None], Zl, jnp.zeros_like(Zl))
     return JacPoint(Xl, Yl, Zl)
+
+
+def normalize_rns(ctx: MontCtx, rns: RNSCtx, X, Y, Z):
+    """Jacobian (raw RNS residues [2k, B], bounds <= (27, 27, 6)) ->
+    canonical affine AffinePoint limbs -- the RNS analog of cv.normalize
+    + montgomery.batch_mont_inv, with the prefix/suffix product scans and
+    all coordinate muls as MXU r_muls; only the two affine coordinates
+    convert to limbs.  Bit-identical output (same field values, same
+    canonical limb encoding).
+
+    Identity detection is EXACT without a flag channel: a dead lane's Z
+    is written as literal 0.0 in every channel, while any live value
+    0 < v < 6p cannot vanish in all ~2k channels (that would need every
+    channel prime to divide v, i.e. v >= A >> 6p)."""
+    from .curve import AffinePoint
+
+    dead = jnp.all(Z == 0.0, axis=0)                      # [B] exact
+    one_b = jnp.broadcast_to(rns.one_rns, Z.shape)
+    zsafe = jnp.where(dead[None], one_b, Z)
+
+    def mul2(a, b):
+        # static bound 6 covers both levels: inputs <= 6p, products <= 3p
+        return rn.r_mul(rns, RVal(a, 6), RVal(b, 6)).v
+
+    prefix = jax.lax.associative_scan(mul2, zsafe, axis=1)
+    suffix = jax.lax.associative_scan(mul2, zsafe, axis=1, reverse=True)
+    total = prefix[:, -1:]
+    tinv = _rns_pow(rns, RVal(total, 3), ctx.pm2_bits).v  # [2k, 1]
+    one_col = one_b[:, :1]
+    pre_excl = jnp.concatenate([one_col, prefix[:, :-1]], axis=1)
+    suf_excl = jnp.concatenate([suffix[:, 1:], one_col], axis=1)
+    zinv = rn.r_mul(rns, RVal(pre_excl, 3), RVal(suf_excl, 3))
+    zinv = rn.r_mul(rns, zinv, RVal(jnp.broadcast_to(tinv, Z.shape), 3))
+    zinv2 = rn.r_mul(rns, zinv, zinv)
+    zinv3 = rn.r_mul(rns, zinv2, zinv)
+    x = rn.r_mul(rns, RVal(X, _BX), zinv2)
+    y = rn.r_mul(rns, RVal(Y, _BY), zinv3)
+    xl = rn.from_rns_mont(rns, x)
+    yl = rn.from_rns_mont(rns, y)
+    zero = jnp.zeros_like(xl)
+    inf = dead.astype(jnp.uint32)
+    xl = jnp.where(dead[None], zero, xl)
+    yl = jnp.where(dead[None], zero, yl)
+    return AffinePoint(xl, yl, inf)
 
 
 def mont_inv_rns(ctx: MontCtx, rns: RNSCtx, x):
@@ -419,7 +496,7 @@ def scalar_mul_rns(ctx: MontCtx, rns: RNSCtx, base, digits, raw=False):
     return JacPoint(Xl, Yl, Zl)
 
 
-def scalar_mul_vec_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
+def scalar_mul_vec_rns(ctx: MontCtx, rns: RNSCtx, base, bits, raw=False):
     """base^k with a PER-ELEMENT exponent column: base AffinePoint
     [L, *batch], bits uint [nbits, *batch] MSB-first plain bits (k >= 0).
     The RNS MultConstant path (reference MultConst, bgn.go:253-291).
@@ -469,10 +546,14 @@ def scalar_mul_vec_rns(ctx: MontCtx, rns: RNSCtx, base, bits):
     carry0 = (X0, Y0, Z0, jnp.zeros((flat,), jnp.uint32))
     (X, Y, Z, started), _ = jax.lax.scan(step, carry0, bits2)
 
+    dead = (~started.astype(bool)) | base.inf.reshape(-1).astype(bool)
+    if raw:
+        # normalize_rns identity encoding: exact 0.0 residues
+        Z = jnp.where(dead[None], jnp.zeros_like(Z), Z)
+        return RVal(X, _BX), RVal(Y, _BY), RVal(Z, _BZ)
     Xl = rn.from_rns_mont(rns, RVal(X, _BX)).reshape((ctx.L,) + batch_shape)
     Yl = rn.from_rns_mont(rns, RVal(Y, _BY)).reshape((ctx.L,) + batch_shape)
     Zl = rn.from_rns_mont(rns, RVal(Z, _BZ)).reshape((ctx.L,) + batch_shape)
-    dead = (~started.astype(bool)) | base.inf.reshape(-1).astype(bool)
     Zl = jnp.where(dead.reshape(batch_shape)[None], jnp.zeros_like(Zl), Zl)
     return JacPoint(Xl, Yl, Zl)
 

@@ -577,11 +577,30 @@ def _win_rns(ctx, rns, table, rows=None):
         digits = digits.reshape(len(vals), d8).T.astype(np.int64)
         S = pow2 @ digits                                   # [2k, B]
         r = (S % m[:, None]).astype(np.float32)
-        return jnp.asarray(r.reshape(-1, J, R))
+        return r.reshape(-1, J, R)
 
     xs = [0 if P is None else P[0] for P in rows]
     ys = [0 if P is None else P[1] for P in rows]
-    return (residues(xs), residues(ys))
+    rx, ry = residues(xs), residues(ys)
+    return (jnp.asarray(rx), jnp.asarray(ry),
+            jnp.asarray(_win_sel_matrix(rx, ry)).astype(jnp.bfloat16))
+
+
+def _win_sel_matrix(rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
+    """The MXU selection matrix for the in-kernel window-entry lookup
+    (pallas_rns._win_ladder_tab_kernel): residues split into 6-bit
+    halves (bf16-exact) and stacked as [J, 4*ch8, R] with each quarter
+    8-sublane-aligned (ch8 = ch rounded up to 8), so the kernel's row
+    slices at offsets {0, ch8, 2*ch8, 3*ch8} never trigger Mosaic
+    relayouts.  Row layout: [hi(x); lo(x); hi(y); lo(y)]."""
+    ch, J, R = rx.shape
+    ch8 = -(-ch // 8) * 8
+    w = np.zeros((4 * ch8, J, R), dtype=np.float32)
+    w[0:ch] = np.floor(rx / 64.0)
+    w[ch8:ch8 + ch] = rx - np.floor(rx / 64.0) * 64.0
+    w[2 * ch8:2 * ch8 + ch] = np.floor(ry / 64.0)
+    w[3 * ch8:3 * ch8 + ch] = ry - np.floor(ry / 64.0) * 64.0
+    return np.moveaxis(w, 1, 0)                             # [J, 4ch8, R]
 
 
 def _window_table(ctx, base, p: int, key_bits: int):
@@ -788,6 +807,26 @@ def _fixed_base(dev: PublicDeviceKey, table, table_rns, digits) -> cv.JacPoint:
 @jax.jit
 def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
     ctx = dev.ctx
+    from .ops import rns_pairing
+    kind, interp = rns_pairing._mode()
+    if (dev.p_win_rns is not None and pairing_mod.use_rns(dev.rns)
+            and kind == "loop"):
+        # fused fast path: BOTH window chains + the g +- h combine in ONE
+        # kernel (pallas_rns.dual_ladder_pallas); the split path's
+        # normalize(h) + madd launches and their HBM round trips vanish.
+        # Bit-identical final ciphertexts: the combine differs only in
+        # coordinate scaling, which the normalize cancels.
+        from .ops import pallas_rns
+        Jm, Jr = m_digits.shape[0], r_digits.shape[0]
+        wsel = jnp.concatenate([dev.p_win_rns[2][:Jm],
+                                dev.q_win_rns[2][:Jr]], axis=0)
+        dig = jnp.concatenate([m_digits, r_digits], axis=0)
+        ch = dev.p_win_rns[0].shape[0]
+        X, Y, Z = pallas_rns.dual_ladder_pallas(
+            dev.rns, wsel, ch, Jm, dig, m_neg, interpret=interp)
+        # exit fully in RNS: batch inversion scans + coordinate muls on
+        # the MXU, limbs only for the two affine outputs
+        return rns_pairing.normalize_rns(ctx, dev.rns, X, Y, Z)
     g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)  # P^|m|
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
     h = _fixed_base(dev, dev.q_win, dev.q_win_rns, r_digits)  # Q^r
@@ -799,6 +838,13 @@ def _encrypt_kernel(dev: PublicDeviceKey, m_digits, m_neg, r_digits):
 @jax.jit
 def _encrypt_det_kernel(dev: PublicDeviceKey, m_digits, m_neg):
     ctx = dev.ctx
+    if dev.p_win_rns is not None and pairing_mod.use_rns(dev.rns):
+        # RNS end-to-end: ladder (raw residues) -> negate -> normalize
+        from .ops import rns_pairing
+        X, Y, Z = rns_pairing.fixed_base_mul_rns(
+            ctx, dev.rns, dev.p_win_rns, dev.p_win.inf, m_digits, raw=True)
+        Yn = rns_pairing.neg_y_rns(dev.rns, Y.v, Y.bound, m_neg)
+        return rns_pairing.normalize_rns(ctx, dev.rns, X.v, Yn, Z.v)
     g = _fixed_base(dev, dev.p_win, dev.p_win_rns, m_digits)
     g = cv.JacPoint(g.X, lb.select(m_neg, mg.mod_neg(ctx, g.Y), g.Y), g.Z)
     return cv.normalize(ctx, g, rns=dev.rns)
@@ -856,12 +902,18 @@ def _mult_const_l2_kernel(dev, a, k_bits, k_neg):
 @jax.jit
 def _mult_const_l1_rns_kernel(dev, a: cv.AffinePoint, k_bits, k_neg):
     """MultConst fast path: per-element RNS double-and-add (VERDICT r3
-    item 3); bit-identical to _mult_const_l1_kernel on its safe domain."""
+    item 3); bit-identical to _mult_const_l1_kernel on its safe domain.
+    The ladder, negation, and batch-inversion exit all stay in RNS."""
     from .ops import rns_pairing
     ctx = dev.ctx
-    r = rns_pairing.scalar_mul_vec_rns(ctx, dev.rns, a, k_bits)
-    r = cv.JacPoint(r.X, lb.select(k_neg, mg.mod_neg(ctx, r.Y), r.Y), r.Z)
-    return cv.normalize(ctx, r, rns=dev.rns)
+    X, Y, Z = rns_pairing.scalar_mul_vec_rns(ctx, dev.rns, a, k_bits,
+                                             raw=True)
+    Yn = rns_pairing.neg_y_rns(dev.rns, Y.v, Y.bound,
+                               k_neg.reshape(-1))
+    aff = rns_pairing.normalize_rns(ctx, dev.rns, X.v, Yn, Z.v)
+    shape = a.x.shape
+    return cv.AffinePoint(aff.x.reshape(shape), aff.y.reshape(shape),
+                          aff.inf.reshape(a.inf.shape))
 
 
 @jax.jit

@@ -138,3 +138,30 @@ def test_rationalize_roundtrip(keypair):
         num, powr = encoding.rationalize(x, 3, 0.0001)
         approx = num / (3.0 ** powr)
         assert abs(approx - x) <= 0.0001 + 1e-12
+
+
+def test_poly_accumulators_degree32(keypair):
+    """The skew-gather diagonal accumulators at the reference's degree
+    scale (d1=32; degreeBound=128 in plaintext.go:11 -- VERDICT r3 item
+    7: trace size O(1) in degree), against per-diagonal sums."""
+    import numpy as np
+
+    from bgn_tpu.scheme import Ciphertext
+
+    pk, sk, tables = keypair
+    d1, d2 = 32, 2
+    ms = [(i % 7) + 1 for i in range(d1 * d2)]
+    want = [0] * (d1 + d2)
+    for i in range(d1):
+        for k in range(d2):
+            want[i + k] += ms[i * d2 + k]
+
+    ct = pk.encrypt(ms)
+    acc = polyct._poly_accumulate_l1(pk.dev, ct.data, d1, d2)
+    got = sk.decrypt_failsafe(Ciphertext(acc, False), pk, tables)
+    assert list(got) == want
+
+    l2 = pk.make_l2(ct)
+    acc2 = polyct._poly_accumulate_l2(pk.dev, l2.data, d1, d2)
+    got2 = sk.decrypt_failsafe(Ciphertext(acc2, True), pk, tables)
+    assert list(got2) == want

@@ -336,3 +336,37 @@ def test_rns_mult_const_wide_exponent_falls_back(monkeypatch):
     got = sk.decrypt_failsafe(pk.mult_const(ct, int(pk.n - 1)), pk, tables)
     jax.clear_caches()
     assert list(got) == [-2, -3, -5]
+
+
+def test_fused_dual_ladder_encrypt_matches_split(monkeypatch):
+    """The fused dual-ladder encrypt kernel (dual_ladder_pallas: both
+    window chains + the g +- h combine in one kernel) produces
+    bit-identical ciphertexts to the split XLA path, incl. m = 0, r = 0,
+    m < 0 and (m, r) = (0, 0) identity lanes."""
+    import jax
+
+    from bgn_tpu import scheme
+    from bgn_tpu.ops import pairing as pairing_mod
+    from bgn_tpu.ops import rns_pairing as rp
+
+    rng = random.Random(91)
+    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    ms = [0, 1, -7, 100, 55, -13, 0, 2]
+    rs = [5, 0, 12345, 1, 999999, 424242, 0, pk.n - 1]
+    ms[6], rs[6] = 0, 0      # identity lane
+
+    monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
+    jax.clear_caches()
+    a1 = pk.encrypt_with_randomness(ms, rs)
+    jax.clear_caches()
+    monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
+    a2 = pk.encrypt_with_randomness(ms, rs)
+    jax.clear_caches()
+
+    np.testing.assert_array_equal(np.asarray(a1.data.x),
+                                  np.asarray(a2.data.x))
+    np.testing.assert_array_equal(np.asarray(a1.data.y),
+                                  np.asarray(a2.data.y))
+    np.testing.assert_array_equal(np.asarray(a1.data.inf),
+                                  np.asarray(a2.data.inf))
