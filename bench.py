@@ -104,19 +104,35 @@ def record(name, ops_per_sec, batch, config, note=""):
         + (f" -- {note}" if note else ""))
 
 
+MIN_WINDOW_S = 3.0   # autorange floor: sub-second windows are dominated
+MAX_CHUNKS = 64      # by one-off tunnel readback latency (33k vs 151k
+                     # encrypt readings in back-to-back otherwise-idle
+                     # runs); keep timing until the window is real
+
+
 def timed(fn, materialize, iters, total_ops):
-    """Compile+warm once, then rate over `iters` calls (total_ops items).
-    Each phase retries transient backend errors; a failure mid-timing
-    restarts only the timing loop (warm caches make the retry cheap)."""
+    """Compile+warm once, then rate the steady state (total_ops items per
+    `iters` calls).  The timing loop autoranges: chunks of `iters` calls
+    (one materialize sync per chunk) repeat until MIN_WINDOW_S of wall
+    time is covered, so fast ops aren't measured through a single noisy
+    tunnel round trip.  Each phase retries transient backend errors; a
+    failure mid-timing restarts only the timing loop (warm caches make
+    the retry cheap)."""
     with_retry(lambda: materialize(fn()))
 
     def _time_loop():
         t0 = time.time()
-        out = None
-        for _ in range(iters):
-            out = fn()
-        materialize(out)
-        return total_ops / (time.time() - t0)
+        done = 0
+        for _ in range(MAX_CHUNKS):
+            out = None
+            for _ in range(iters):
+                out = fn()
+            materialize(out)
+            done += total_ops
+            el = time.time() - t0
+            if el >= MIN_WINDOW_S:
+                break
+        return done / (time.time() - t0)
 
     return with_retry(_time_loop)
 
@@ -139,7 +155,9 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
     ks = [rng.randrange(1, 4) for _ in range(batch)]
     a = with_retry(lambda: pk.encrypt(ms, rng=rng))
     b = with_retry(lambda: pk.encrypt(ks, rng=rng))
-    with_retry(lambda: jax.block_until_ready((a.data.x, b.data.x)))
+    # np.asarray readback, NOT block_until_ready: the latter can hang
+    # forever on the tunneled axon backend (observed r4, 0%-CPU stall)
+    with_retry(lambda: (mat_ct(a), mat_ct(b)))
 
     section(f"Encrypt{sfx}", lambda: record(
         f"Encrypt{sfx}",
@@ -207,7 +225,7 @@ def bench_batch_10k(pk, rng, iters):
     ks = [rng.randrange(-3, 4) or 1 for _ in range(B)]
     a = pk.encrypt(ms, rng=rng)
     b = pk.encrypt(ms, rng=rng)
-    jax.block_until_ready((a.data.x, b.data.x))
+    mat_ct(a), mat_ct(b)
     record("Add_10k", timed(lambda: pk.add(a, b), mat_ct, iters, B * iters),
            B, 2)
     record("MultConstant_10k",
@@ -275,7 +293,7 @@ def bench_gadgets(pk, sk, rng, iters, batch=256):
     ys = np.array([[rng.randrange(8) for _ in range(B)] for _ in range(D)])
     ct_x = pk.encrypt(xs.ravel().tolist(), rng=rng).reshape((D, B))
     ct_y = pk.encrypt(ys.ravel().tolist(), rng=rng).reshape((D, B))
-    jax.block_until_ready(ct_x.data.x)
+    mat_ct(ct_x), mat_ct(ct_y)
     record("EncryptedDot_d16",
            timed(lambda: ed.encrypted_dot(pk, ct_x, ct_y), mat_ct,
                  max(1, iters // 4), B * max(1, iters // 4)), B, 4,
@@ -298,7 +316,7 @@ def bench_multichip(pk, sk, tables, rng, iters):
     mesh = mh.make_global_mesh()
     a = mesh_mod.shard_ciphertext(pk.encrypt(ms, rng=rng), mesh)
     b = mesh_mod.shard_ciphertext(pk.encrypt(ms, rng=rng), mesh)
-    jax.block_until_ready(a.data.x)
+    mat_ct(a), mat_ct(b)
     rate = timed(lambda: _mult_kernel(pk.dev, a.data, b.data),
                  lambda o: np.asarray(o[:, :, 0]).sum(), iters, B * iters)
     one_chip = RESULTS.get("Mult", {}).get("ops_per_sec")

@@ -58,6 +58,27 @@ def _clear_jax_caches_between_modules():
 
 
 @pytest.fixture(scope="session")
+def shared_keypair64():
+    """ONE 64-bit keypair shared across the fast test modules.  Same
+    rationale as shared_keypair: MontCtx.p_host keys the jit and
+    persistent caches by key VALUE, so every distinct 64-bit key used to
+    retrace + recompile the whole kernel set (test_rns alone built 8)."""
+    import random
+
+    from bgn_tpu import scheme
+    rng = random.Random(5)
+    return scheme.keygen(64, 101, rng=rng)
+
+
+@pytest.fixture(scope="session")
+def shared_tables64(shared_keypair64):
+    import random
+
+    pk, sk = shared_keypair64
+    return pk.setup_decryption(sk, rng=random.Random(5))
+
+
+@pytest.fixture(scope="session")
 def shared_keypair():
     """ONE 160-bit keypair + decrypt tables shared across test modules
     (VERDICT r3 item 8): MontCtx.p_host is a static pytree field, so the

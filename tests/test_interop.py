@@ -135,9 +135,8 @@ def test_element_bytes_layout():
 
 
 @pytest.fixture(scope="module")
-def keypair():
-    rng = random.Random(4242)
-    return scheme.keygen(64, 101, rng=rng)
+def keypair(shared_keypair64):
+    return shared_keypair64
 
 
 def test_public_key_gob_roundtrip(keypair):
@@ -160,9 +159,9 @@ def test_public_key_gob_roundtrip(keypair):
     assert _element_bytes(pk, a) == _element_bytes(pk2, b)
 
 
-def test_ciphertext_gob_roundtrip(keypair):
+def test_ciphertext_gob_roundtrip(keypair, shared_tables64):
     pk, sk = keypair
-    tables = pk.setup_decryption(sk, rng=random.Random(1))
+    tables = shared_tables64
     ms = [0, 1, 7, 10]   # squares stay inside msg_space for the L2 check
     ct = pk.encrypt(ms, rng=random.Random(2))
     blobs = ciphertext_to_gob(pk, ct)
@@ -180,10 +179,10 @@ def test_ciphertext_gob_roundtrip(keypair):
         ciphertext_from_gob(pk, b"")
 
 
-def test_poly_ciphertext_gob_roundtrip(keypair):
+def test_poly_ciphertext_gob_roundtrip(keypair, shared_tables64):
     pk, sk = keypair
     from bgn_tpu import encoding, polyct
-    tables = pk.setup_decryption(sk, rng=random.Random(3))
+    tables = shared_tables64
     pt = polyct.encrypt_poly(pk, encoding.new_poly_plaintext(pk, 38.0),
                              rng=random.Random(4))
     blob = poly_ciphertext_to_gob(pk, pt)

@@ -16,9 +16,9 @@ from bgn_tpu import scheme
 from bgn_tpu.fieldcore import limbs as lb
 
 
-def _key():
-    rng = random.Random(5)
-    return scheme.keygen(64, 101, rng=rng), rng
+@pytest.fixture()
+def keyrng(shared_keypair64):
+    return shared_keypair64, random.Random(5)
 
 
 def test_int_to_naf_roundtrip_and_nonadjacent():
@@ -61,10 +61,10 @@ def test_exp_digits_prefers_naf_and_strips_leading_zeros():
 
 
 @pytest.mark.parametrize("mode", ["0", "loop-interpret"])
-def test_pairing_naf_matches_binary(mode, monkeypatch):
+def test_pairing_naf_matches_binary(mode, monkeypatch, keyrng):
     from bgn_tpu.ops import rns_pairing as rp
 
-    (pk, sk), rng = _key()
+    (pk, sk), rng = keyrng
     dev = pk.dev
     a = pk.encrypt([0, 1, 2, 7, 100, 55], rng=rng).data
     b = pk.encrypt([1, 3, 5, 2, 99, 4], rng=rng).data
@@ -77,11 +77,11 @@ def test_pairing_naf_matches_binary(mode, monkeypatch):
 
 
 @pytest.mark.parametrize("mode", ["0", "loop-interpret"])
-def test_ladders_naf_match_binary(mode, monkeypatch):
+def test_ladders_naf_match_binary(mode, monkeypatch, keyrng):
     from bgn_tpu.ops import curve as cv
     from bgn_tpu.ops import rns_pairing as rp
 
-    (pk, sk), rng = _key()
+    (pk, sk), rng = keyrng
     dev = pk.dev
     a = pk.encrypt([0, 1, 2, 7, 100, 55], rng=rng).data
     monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
@@ -107,11 +107,11 @@ def test_ladders_naf_match_binary(mode, monkeypatch):
     np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_naf))
 
 
-def test_decrypt_end_to_end_with_naf():
+def test_decrypt_end_to_end_with_naf(keyrng, shared_tables64):
     """Scheme-level decrypt (uses q1_naf) incl. the m = 0 order-q1
     ciphertext whose final ladder add is the vertical -> identity case."""
-    (pk, sk), rng = _key()
-    tables = pk.setup_decryption(sk, rng=rng)
+    (pk, sk), rng = keyrng
+    tables = shared_tables64
     ms = [0, 1, 2, 7, 9, 10]
     ct = pk.encrypt(ms, rng=rng)
     assert [int(v) for v in sk.decrypt(ct, pk, tables)] == ms

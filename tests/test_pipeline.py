@@ -15,9 +15,9 @@ from bgn_tpu.parallel import pipeline as pp
 
 
 @pytest.fixture(scope="module")
-def setup():
+def setup(shared_keypair64):
     rng = random.Random(17)
-    pk, sk = scheme.keygen(64, 101, rng=rng)
+    pk, sk = shared_keypair64
     ms = [0, 1, 2, 7, 100, 55, 13, 9]
     ks = [1, 3, 5, 2, 99, 4, 8, 6]
     a = pk.encrypt(ms, rng=rng).data

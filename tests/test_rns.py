@@ -112,15 +112,14 @@ def test_rns_bound_growth_and_domain():
         lb.limbs_to_ints(np.asarray(xm))
 
 
-def test_rns_miller_matches_xla(monkeypatch):
+def test_rns_miller_matches_xla(shared_keypair64):
     """The RNS Miller loop agrees bit-for-bit with the XLA reference path
     (same pairing, different field representation)."""
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
     from bgn_tpu.ops import rns_pairing
 
     rng = random.Random(5)
-    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    pk, _sk = shared_keypair64
     dev = pk.dev
     assert dev.rns is not None
 
@@ -140,15 +139,15 @@ def test_rns_miller_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_rns))
 
 
-def test_rns_scheme_end_to_end(monkeypatch):
+def test_rns_scheme_end_to_end(monkeypatch, shared_keypair64,
+                               shared_tables64):
     """Force the RNS pairing inside the scheme: EMult + decrypt round trip."""
     monkeypatch.setattr(
         __import__("bgn_tpu.ops.pairing", fromlist=["x"]), "_RNS_MODE", "1")
-    from bgn_tpu import scheme
 
     rng = random.Random(21)
-    pk, sk = scheme.keygen(64, 101, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
+    pk, sk = shared_keypair64
+    tables = shared_tables64
 
     ms = [0, 1, 5, 9]
     ks = [7, 3, 0, 9]
@@ -159,17 +158,15 @@ def test_rns_scheme_end_to_end(monkeypatch):
     assert list(got) == [m * k for m, k in zip(ms, ks)]
 
 
-def test_rns_encrypt_matches_limb(monkeypatch):
+def test_rns_encrypt_matches_limb(monkeypatch, shared_keypair64):
     """The RNS fixed-base window ladder (fixed_base_mul_rns) produces
     bit-identical ciphertexts to the limb path, incl. m=0 / r=0 lanes
     (identity handling is flag-based)."""
     import jax
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
 
-    rng = random.Random(77)
-    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    pk, _sk = shared_keypair64
     ms = [0, 1, -7, 100, 55, 13, 0, 2]
     rs = [5, 0, 12345, 1, 999999, 424242, 0, pk.n - 1]
     a1 = pk.encrypt_with_randomness(ms, rs)
@@ -190,18 +187,17 @@ def test_rns_encrypt_matches_limb(monkeypatch):
                                       np.asarray(v.data.inf))
 
 
-def test_rns_loop_kernels_match_xla(monkeypatch):
+def test_rns_loop_kernels_match_xla(monkeypatch, shared_keypair64):
     """Whole-loop Pallas kernels (Miller loop, window ladder, pow loops;
     BGN_TPU_RNS_PALLAS=loop) agree bit-for-bit with the XLA step path,
     via the interpreter on CPU (pallas_rns.py whole-loop section)."""
     import jax
     import jax.numpy as jnp
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import rns_pairing as rp
 
     rng = random.Random(5)
-    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    pk, _sk = shared_keypair64
     dev = pk.dev
     ms = [0, 1, 2, 7, 100, 55]
     a = pk.encrypt(ms, rng=rng).data
@@ -234,17 +230,17 @@ def test_rns_loop_kernels_match_xla(monkeypatch):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
 
 
-def test_rns_decrypt_matches_limb(monkeypatch):
+def test_rns_decrypt_matches_limb(monkeypatch, shared_keypair64,
+                                  shared_tables64):
     """RNS decrypt ladders (scalar_mul_rns / fp2_pow_rns) produce the
     same decrypts as the limb path at both levels, incl. zero/negatives."""
     import jax
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
 
     rng = random.Random(31)
-    pk, sk = scheme.keygen(64, 101, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
+    pk, sk = shared_keypair64
+    tables = shared_tables64
     ms = [0, 1, -7, 55, 100, -100, 13, 2]
     ct = pk.encrypt(ms, rng=rng)
     l2 = pk.make_l2(ct)
@@ -265,7 +261,8 @@ def test_rns_decrypt_matches_limb(monkeypatch):
     assert list(okw1) == list(okw2) == [True] * len(ms)
 
 
-def test_rns_mult_const_matches_limb(monkeypatch):
+def test_rns_mult_const_matches_limb(monkeypatch, shared_keypair64,
+                                     shared_tables64):
     """The per-element RNS MultConstant ladders (scalar_mul_vec_rns /
     fp2_pow_vec_rns) are bit-identical to the complete limb ladders at
     both levels, over adversarial constants: 0, +-1, +-2, k == 0 mod n
@@ -273,11 +270,10 @@ def test_rns_mult_const_matches_limb(monkeypatch):
     item 3; reference MultConst semantics bgn.go:253-291)."""
     import jax
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
 
     rng = random.Random(47)
-    pk, sk = scheme.keygen(64, 101, rng=rng)
+    pk, sk = shared_keypair64
     n = pk.n
     ms = [3, 1, 7, 9, 5, 2, 0, 4, 6, 8]
     ks = [0, 1, -1, 2, -2, int(n), int(2 * n), int(-n), 5, 12]
@@ -306,7 +302,7 @@ def test_rns_mult_const_matches_limb(monkeypatch):
     np.testing.assert_array_equal(np.asarray(w1.data), np.asarray(w2.data))
 
     # semantics vs decrypt: k*m mod n, negatives via the failsafe retry
-    tables = pk.setup_decryption(sk, rng=rng)
+    tables = shared_tables64
     jax.clear_caches()
     got = sk.decrypt_failsafe(a2, pk, tables)
     want = []
@@ -316,18 +312,19 @@ def test_rns_mult_const_matches_limb(monkeypatch):
     assert list(got) == want
 
 
-def test_rns_mult_const_wide_exponent_falls_back(monkeypatch):
+def test_rns_mult_const_wide_exponent_falls_back(monkeypatch,
+                                                 shared_keypair64,
+                                                 shared_tables64):
     """Exponents ~ n bits exceed the vec-ladder safety bound
     (2^nbits < min(q1, q2)) and must route through the complete limb
     ladder, still giving correct results."""
     import jax
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
 
     rng = random.Random(53)
-    pk, sk = scheme.keygen(64, 101, rng=rng)
-    tables = pk.setup_decryption(sk, rng=rng)
+    pk, sk = shared_keypair64
+    tables = shared_tables64
     jax.clear_caches()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     ms = [2, 3, 5]
@@ -338,19 +335,18 @@ def test_rns_mult_const_wide_exponent_falls_back(monkeypatch):
     assert list(got) == [-2, -3, -5]
 
 
-def test_fused_dual_ladder_encrypt_matches_split(monkeypatch):
+def test_fused_dual_ladder_encrypt_matches_split(monkeypatch,
+                                                 shared_keypair64):
     """The fused dual-ladder encrypt kernel (dual_ladder_pallas: both
     window chains + the g +- h combine in one kernel) produces
     bit-identical ciphertexts to the split XLA path, incl. m = 0, r = 0,
     m < 0 and (m, r) = (0, 0) identity lanes."""
     import jax
 
-    from bgn_tpu import scheme
     from bgn_tpu.ops import pairing as pairing_mod
     from bgn_tpu.ops import rns_pairing as rp
 
-    rng = random.Random(91)
-    pk, _sk = scheme.keygen(64, 101, rng=rng)
+    pk, _sk = shared_keypair64
     ms = [0, 1, -7, 100, 55, -13, 0, 2]
     rs = [5, 0, 12345, 1, 999999, 424242, 0, pk.n - 1]
     ms[6], rs[6] = 0, 0      # identity lane
