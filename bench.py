@@ -42,8 +42,9 @@ if not os.environ.get("BGN_TPU_NO_CACHE"):
 
 KEY_BITS = 512
 MSG_SPACE = 1021
-BATCH = 2048
-ITERS = 8
+BATCH = 8192        # knee of the throughput curve for encrypt/add/mult
+DECRYPT_BATCH = 2048  # BSGS decrypt peaks at 2048 (tools/batch_sweep.py:
+ITERS = 8             # 52.7k/s at 2048 vs 45.4k at 8192)
 NORTH_STAR_PER_CHIP = 100_000 / 8  # BASELINE.json: 1e5 ops/s on v5e-8
 
 
@@ -144,12 +145,16 @@ def mat_ct(ct):
     return np.asarray(ct.data.x[0]).sum()
 
 
-def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
+def bench_core(pk, sk, tables, rng, batch, iters, config, label="",
+               decrypt_batch=None):
     """Config 1+3 core ops at one key size: Encrypt/Add/MultConstant/
-    Mult/AddL2/Decrypt/DecryptL2 (reference names where they exist)."""
+    Mult/AddL2/Decrypt/DecryptL2 (reference names where they exist).
+    Decrypt sections run at decrypt_batch (default: batch) -- the BSGS
+    scan's throughput knee is lower than the ladder ops'."""
     from bgn_tpu.scheme import _decrypt_l1_kernel, _mult_kernel
 
     sfx = label and f"_{label}"
+    dbatch = decrypt_batch or batch
     # ms*ks must stay inside MSG_SPACE for the L2 decrypt section
     ms = [rng.randrange(MSG_SPACE // 3) for _ in range(batch)]
     ks = [rng.randrange(1, 4) for _ in range(batch)]
@@ -186,31 +191,35 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label=""):
     emult = section(f"Mult{sfx}", _mult_section)
 
     def _l2_sections():
+        ad = pk.encrypt(ms[:dbatch], rng=rng) if dbatch != batch else a
+        bd = pk.encrypt(ks[:dbatch], rng=rng) if dbatch != batch else b
         prod = pk.mult(a, b)
+        prod_d = pk.mult(ad, bd) if dbatch != batch else prod
         section(f"AddL2{sfx}", lambda: record(
             f"AddL2{sfx}",
             timed(lambda: pk.add(prod, prod), mat_ct, iters,
                   batch * iters), batch, 3 if not label else config))
         section(f"DecryptL2{sfx}", lambda: record(
             f"DecryptL2{sfx}",
-            timed(lambda: sk.decrypt(prod, pk, tables),
+            timed(lambda: sk.decrypt(prod_d, pk, tables),
                   lambda o: np.asarray(o).sum(), max(1, iters // 2),
-                  batch * max(1, iters // 2)),
-            batch, 3 if not label else config))
+                  dbatch * max(1, iters // 2)),
+            dbatch, 3 if not label else config))
 
     section(f"L2{sfx}", _l2_sections)
 
     def _decrypt_section():
+        ad = pk.encrypt(ms[:dbatch], rng=rng) if dbatch != batch else a
         t0 = time.time()
-        found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, a.data,
+        found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, ad.data,
                                       sk.q1_naf)
         np.asarray(m).sum()
         log(f"  decrypt compile+first batch: {time.time() - t0:.1f}s")
         record(f"Decrypt{sfx}",
                timed(lambda: _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits,
-                                                a.data, sk.q1_naf)[1],
-                     lambda o: np.asarray(o).sum(), iters, batch * iters),
-               batch, config)
+                                                ad.data, sk.q1_naf)[1],
+                     lambda o: np.asarray(o).sum(), iters, dbatch * iters),
+               dbatch, config)
         assert [int(v) for v in np.asarray(m)[:8]] == ms[:8], \
             "decrypt mismatch"
 
@@ -350,7 +359,8 @@ def main():
 
     log(f"== config 1+3: core ops at {KEY_BITS}-bit, batch {BATCH}")
     record("KeyGen", 1.0 / keygen_s, 1, 1, "host-side (single)")
-    emult = bench_core(pk, sk, tables, rng, BATCH, args.iters, 1)
+    emult = bench_core(pk, sk, tables, rng, BATCH, args.iters, 1,
+                       decrypt_batch=DECRYPT_BATCH)
 
     if args.full:
         log("== config 2: 10^4-batch EAdd/EMultC + poly ops")
