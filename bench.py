@@ -191,10 +191,13 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label="",
     emult = section(f"Mult{sfx}", _mult_section)
 
     def _l2_sections():
-        ad = pk.encrypt(ms[:dbatch], rng=rng) if dbatch != batch else a
-        bd = pk.encrypt(ks[:dbatch], rng=rng) if dbatch != batch else b
-        prod = pk.mult(a, b)
-        prod_d = pk.mult(ad, bd) if dbatch != batch else prod
+        ad = with_retry(lambda: pk.encrypt(ms[:dbatch], rng=rng)) \
+            if dbatch != batch else a
+        bd = with_retry(lambda: pk.encrypt(ks[:dbatch], rng=rng)) \
+            if dbatch != batch else b
+        prod = with_retry(lambda: pk.mult(a, b))
+        prod_d = with_retry(lambda: pk.mult(ad, bd)) \
+            if dbatch != batch else prod
         section(f"AddL2{sfx}", lambda: record(
             f"AddL2{sfx}",
             timed(lambda: pk.add(prod, prod), mat_ct, iters,
@@ -209,7 +212,8 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label="",
     section(f"L2{sfx}", _l2_sections)
 
     def _decrypt_section():
-        ad = pk.encrypt(ms[:dbatch], rng=rng) if dbatch != batch else a
+        ad = with_retry(lambda: pk.encrypt(ms[:dbatch], rng=rng)) \
+            if dbatch != batch else a
         t0 = time.time()
         found, m = _decrypt_l1_kernel(pk.dev, tables, sk.q1_bits, ad.data,
                                       sk.q1_naf)

@@ -13,7 +13,6 @@ import json
 import os
 import random
 import sys
-import time
 
 import jax
 import numpy as np
@@ -34,6 +33,9 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
+    from bench import timed  # autoranged >=3s windows (ADVICE r4: the
+    #   old single-window rate() here was the exact sub-second methodology
+    #   PERF.md documents as +-4x jittery; the knee choice was noise-prone)
     from bgn_tpu.config import BGNParams
     from bgn_tpu.scheme import _decrypt_l1_kernel, _mult_kernel
 
@@ -49,13 +51,7 @@ def main():
         np.asarray(a.data.x[0]).sum()
 
         def rate(fn, materialize, iters=args.iters):
-            materialize(fn())            # compile + warm
-            t0 = time.time()
-            o = None
-            for _ in range(iters):
-                o = fn()
-            materialize(o)
-            return B * iters / (time.time() - t0)
+            return timed(fn, materialize, iters, B * iters)
 
         r = {}
         r["encrypt"] = rate(lambda: pk.encrypt(ms, rng=rng),
