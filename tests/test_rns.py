@@ -187,6 +187,40 @@ def test_rns_encrypt_matches_limb(monkeypatch, shared_keypair64):
                                       np.asarray(v.data.inf))
 
 
+def test_rns_add_complete_matches_limb(monkeypatch, shared_keypair64):
+    """add_complete_rns (the L1 Add/Sub fast path, VERDICT r4 weak #4)
+    is bit-identical to the complete limb madd on every edge: generic
+    a+b, a+a (doubling), a+(-a) (identity), O+b, a+O, O+O."""
+    import jax
+
+    from bgn_tpu.ops import pairing as pairing_mod
+
+    pk, _sk = shared_keypair64
+    rng = random.Random(77)
+    ms = [rng.randrange(90) for _ in range(8)]
+    ks = [rng.randrange(90) for _ in range(8)]
+    a = pk.encrypt(ms, rng=rng)
+    b = pk.encrypt(ks, rng=rng)
+    o = pk.encrypt_zero(batch=8)          # deterministic E(0) = O
+    na = pk.sub(o, a)                     # -a
+    cases = [(a, b), (a, a), (a, na), (o, b), (a, o), (o, o)]
+    base = [pk.add(u, v) for u, v in cases]
+
+    jax.clear_caches()
+    monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
+    try:
+        got = [pk.add(u, v) for u, v in cases]
+    finally:
+        jax.clear_caches()
+    for u, v in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(u.data.x),
+                                      np.asarray(v.data.x))
+        np.testing.assert_array_equal(np.asarray(u.data.y),
+                                      np.asarray(v.data.y))
+        np.testing.assert_array_equal(np.asarray(u.data.inf),
+                                      np.asarray(v.data.inf))
+
+
 def test_rns_loop_kernels_match_xla(monkeypatch, shared_keypair64):
     """Whole-loop Pallas kernels (Miller loop, window ladder, pow loops;
     BGN_TPU_RNS_PALLAS=loop) agree bit-for-bit with the XLA step path,
