@@ -168,7 +168,17 @@ def bench_core(pk, sk, tables, rng, batch, iters, config, label="",
     section(f"Encrypt{sfx}", lambda: record(
         f"Encrypt{sfx}",
         timed(lambda: pk.encrypt(ms, rng=rng), mat_ct, iters,
-              batch * iters), batch, config))
+              batch * iters), batch, config,
+        "host CSPRNG + digit prep included (host-bound above ~100k/s; "
+        "see EncryptDevice for the on-device-RNG path)"))
+
+    dev_key = jax.random.key(42)
+    section(f"EncryptDevice{sfx}", lambda: record(
+        f"EncryptDevice{sfx}",
+        timed(lambda: pk.encrypt_device(ms, dev_key), mat_ct, iters,
+              batch * iters), batch, config,
+        "on-device threefry randomness (utils/rng.py): the jitted-"
+        "pipeline production path; only message-digit prep on host"))
     section(f"Add{sfx}", lambda: record(
         f"Add{sfx}",
         timed(lambda: pk.add(a, b), mat_ct, iters, batch * iters),
@@ -292,7 +302,7 @@ def bench_poly(pk, sk, tables, rng, iters):
                  max(1, iters // 2), max(1, iters // 2)), 1, 2, note)
 
 
-def bench_poly_batched(pk, sk, tables, rng, iters, B=512):
+def bench_poly_batched(pk, sk, tables, rng, iters, B=512, value=100.1):
     """Config 2 poly ops at production batch: B polynomials (the
     reference's poly bench value 100.1, degree 3) per launch via the
     (degree, B) coefficient-batch layout (polyct poly batches).  This is
@@ -303,7 +313,7 @@ def bench_poly_batched(pk, sk, tables, rng, iters, B=512):
     budget)."""
     from bgn_tpu import encoding, polyct
 
-    pt = encoding.new_poly_plaintext(pk, 100.1)
+    pt = encoding.new_poly_plaintext(pk, value)
     pts = [pt] * B
     batch = with_retry(lambda: polyct.encrypt_poly_batch(pk, pts, rng=rng))
     mat_ct(batch.ct)
@@ -435,6 +445,12 @@ def main():
         section("poly_batched",
                 lambda: bench_poly_batched(pk, sk, tables, rng,
                                            max(2, args.iters // 2)))
+        # degree-3 variant (value 7.0 -> balanced digits [1,-1,1]): the
+        # 9-pairings-per-poly shape of VERDICT r4 task 1
+        section("poly_batched_d3",
+                lambda: bench_poly_batched(pk, sk, tables, rng,
+                                           max(2, args.iters // 2),
+                                           B=1024, value=7.0))
         log("== config 4: gadgets")
         section("gadgets", lambda: bench_gadgets(pk, sk, rng, args.iters))
         log("== config 5: multi-chip DP scaling")

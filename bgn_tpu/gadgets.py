@@ -165,19 +165,38 @@ def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
 @jax.jit
 def _pok_verify_rns_kernel(dev, ct_pt: cv.AffinePoint,
                            nonce_pt: cv.AffinePoint, c_bits, dl_digits):
-    """RNS verify: P^DL (window ladder) and ct^c (per-element ladder) in
-    the RNS domain, ONE complete limb madd for `* nonce`, equality on
-    canonical affine limbs.  Returns (eq, suspicious): `suspicious` lanes
-    ended a ladder at Z == 0 (genuine identity OR a degenerate incomplete
-    addition -- indistinguishable here by design, see the caller)."""
+    """RNS verify: P^DL (window ladder), ct^c (per-element ladder), and
+    the `* nonce` mixed addition all in the RNS domain, with ONE shared
+    Fermat inversion normalizing both sides.  Returns (eq, suspicious).
+
+    Degeneracy detection is by CANONICAL-limb zero test on the final Z
+    of each side: every degenerate incomplete addition produces
+    H == 0 (mod p), hence Z == 0 (mod p), and Z == 0 (mod p) is sticky
+    through later adds (Z' = Z*H) and doublings (Z' = 2YZ).  The raw
+    residues of such a Z are NOT literal zeros (the value is K*p), so
+    normalize_rns's literal-0.0 identity encoding cannot see them --
+    the from_rns_mont reduction here can, exactly like the giant-step
+    scan's zmask (ops/bsgs.py bsgs_g1_rns).  An identity nonce (the
+    incomplete add has no O-operand handling) is flagged directly."""
+    from .fieldcore import rns as rn
     from .ops import rns_pairing as rp
     ctx, rns = dev.ctx, dev.rns
+    B = ct_pt.inf.shape[0]
     Xd, Yd, Zd = rp.fixed_base_mul_rns(ctx, rns, dev.p_win_rns,
                                        dev.p_win.inf, dl_digits, raw=True)
-    lhs = rp.normalize_rns(ctx, rns, Xd.v, Yd.v, Zd.v)
     Xc, Yc, Zc = rp.scalar_mul_vec_rns(ctx, rns, ct_pt, c_bits, raw=True)
-    rhs_aff = rp.normalize_rns(ctx, rns, Xc.v, Yc.v, Zc.v)
-    rhs2 = cv.normalize(ctx, cv.add_affine(ctx, rhs_aff, nonce_pt),
-                        rns=rns)
-    suspicious = lhs.inf | rhs_aff.inf
-    return cv.eq_affine(lhs, rhs2), suspicious
+    nx = rn.to_rns_mont(rns, nonce_pt.x)
+    ny = rn.to_rns_mont(rns, nonce_pt.y)
+    X2, Y2, Z2 = rp._add_pt(rns, Xc.v, Yc.v, Zc.v, nx, ny)
+
+    dead_l = lb.is_zero(rn.from_rns_mont(rns, rn.RVal(Zd.v, 6)))
+    dead_r = lb.is_zero(rn.from_rns_mont(rns, rn.RVal(Z2, 6)))
+    suspicious = dead_l | dead_r | nonce_pt.inf
+
+    Xs = jnp.concatenate([Xd.v, X2], axis=-1)
+    Ys = jnp.concatenate([Yd.v, Y2], axis=-1)
+    Zs = jnp.concatenate([Zd.v, Z2], axis=-1)
+    aff = rp.normalize_rns(ctx, rns, Xs, Ys, Zs)
+    lhs = cv.AffinePoint(aff.x[:, :B], aff.y[:, :B], aff.inf[:B])
+    rhs = cv.AffinePoint(aff.x[:, B:], aff.y[:, B:], aff.inf[B:])
+    return cv.eq_affine(lhs, rhs), suspicious
