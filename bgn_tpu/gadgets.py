@@ -66,11 +66,23 @@ def _fiat_shamir(pk: BGNPublicKey, ct: Ciphertext,
     """c = SHA-256(ct_bytes || nonce_bytes) per batch element
     (hash(), gadgets.go:80-96).
 
-    One device sync for the whole batch (the four coordinate planes read
-    back as a single stacked array; VERDICT r4 weak #5: the old path made
-    six tunnel round trips per call).  Byte-for-byte the same digest
-    input as serialize.point_bytes: canonical big-endian x||y, identity
-    lanes all-zero (their stored limbs are zeros)."""
+    Fast path: the whole transform runs ON DEVICE (ops/sha256.py) --
+    Montgomery exit, big-endian word packing, and the batched SHA-256
+    compression -- and only the 32-byte digests read back (the host-hash
+    path read back every coordinate plane: ~1 MB per batch-2048 call
+    through the tunnel, 4x the verify kernel's own cost).  Digest input
+    is byte-for-byte serialize.point_bytes: canonical big-endian x||y,
+    identity lanes all-zero."""
+    if pk.dev.ctx.L % 2 == 0:
+        words = np.asarray(_fs_digest_kernel(pk.dev, ct.data, nonce.data))
+        return [int.from_bytes(words[b].astype(">u4").tobytes(), "big")
+                for b in range(words.shape[0])]
+    return _fiat_shamir_host(pk, ct, nonce)
+
+
+def _fiat_shamir_host(pk: BGNPublicKey, ct: Ciphertext,
+                      nonce: Ciphertext) -> List[int]:
+    """Host-hash fallback (odd limb counts); one stacked readback."""
     ctx = pk.dev.ctx
     L = ctx.L
     arr = np.asarray(jnp.concatenate(
@@ -89,6 +101,36 @@ def _fiat_shamir(pk: BGNPublicKey, ct: Ciphertext,
         h.update(nx.to_bytes(nb, "big") + ny.to_bytes(nb, "big"))
         out.append(int.from_bytes(h.digest(), "big"))
     return out
+
+
+@jax.jit
+def _fs_digest_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint):
+    """[L, B] Montgomery coordinate planes -> [B, 8] SHA-256 digest words.
+
+    Canonicalization is one mont_mul by literal 1 (x*R^-1 mod p); BE word
+    packing pairs 16-bit limbs high-to-low (L must be even).  Identity
+    lanes hold zero limbs, matching point_bytes(O) = zero bytes."""
+    from .fieldcore import montgomery as mg
+    from .ops.sha256 import pad_words, sha256_words
+    ctx = dev.ctx
+    L = ctx.L
+    B = ct_pt.inf.shape[0]
+    one = jnp.zeros((L, B), jnp.uint32).at[0].set(1)
+
+    def words(x):
+        canon = mg.mont_mul(ctx, x, one)           # [L, B] canonical
+        r = canon[::-1]                            # MSB limb first
+        w = (r[0::2] << jnp.uint32(16)) | r[1::2]  # [L//2, B] BE words
+        return w
+
+    msg = jnp.concatenate([words(ct_pt.x), words(ct_pt.y),
+                           words(nonce_pt.x), words(nonce_pt.y)],
+                          axis=0).T                # [B, 2L]
+    pad, _total = pad_words(8 * L)
+    padded = jnp.concatenate(
+        [msg, jnp.broadcast_to(jnp.asarray(pad), (B, pad.shape[0]))],
+        axis=1)
+    return sha256_words(padded)
 
 
 def new_proof_of_plaintext_knowledge(

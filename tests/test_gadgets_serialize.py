@@ -77,6 +77,42 @@ def test_pok_batched(keypair):
     assert gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof).all()
 
 
+def test_device_sha256_matches_hashlib():
+    """ops/sha256.py must be byte-identical to hashlib on padded
+    random messages of the gadget's static shapes."""
+    import hashlib
+
+    from bgn_tpu.ops.sha256 import pad_words, sha256_words
+
+    rng = random.Random(99)
+    for nbytes in (64, 96, 272):          # 8L for L = 8, 12, 34
+        B = 5
+        msgs = [bytes(rng.randrange(256) for _ in range(nbytes))
+                for _ in range(B)]
+        words = np.stack([
+            np.frombuffer(m, dtype=">u4").astype(np.uint32) for m in msgs])
+        pad, total = pad_words(nbytes)
+        padded = np.concatenate(
+            [words, np.broadcast_to(pad, (B, pad.shape[0]))], axis=1)
+        assert padded.shape[1] == total
+        got = np.asarray(sha256_words(padded))
+        for b in range(B):
+            want = hashlib.sha256(msgs[b]).digest()
+            assert got[b].astype(">u4").tobytes() == want
+
+
+def test_fiat_shamir_device_matches_host(keypair):
+    """The on-device Fiat-Shamir transform equals the host-hash path
+    (identity lanes included: E_det(0) is the point at infinity)."""
+    pk, sk, rng = keypair
+    vs = [rng.randrange(pk.n) for _ in range(3)] + [0]
+    c1 = pk.encrypt_with_randomness(vs, [rng.randrange(pk.n) for _ in vs])
+    c2 = pk.encrypt_deterministic([1, 0, 5, 0])   # two identity lanes
+    dev = gadgets._fiat_shamir(pk, c1, c2)
+    host = gadgets._fiat_shamir_host(pk, c1, c2)
+    assert dev == host
+
+
 def test_pok_rns_matches_limb(monkeypatch, keypair):
     """The RNS verify kernel must agree with the complete limb kernel on
     accept AND reject (VERDICT r4 weak #5: verify was the last limb-only
