@@ -103,9 +103,9 @@ def _fiat_shamir_host(pk: BGNPublicKey, ct: Ciphertext,
     return out
 
 
-@jax.jit
-def _fs_digest_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint):
-    """[L, B] Montgomery coordinate planes -> [B, 8] SHA-256 digest words.
+def _fs_digest(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint):
+    """[L, B] Montgomery coordinate planes -> [B, 8] SHA-256 digest words
+    (traceable core; jit wrapper below).
 
     Canonicalization is one mont_mul by literal 1 (x*R^-1 mod p); BE word
     packing pairs 16-bit limbs high-to-low (L must be even).  Identity
@@ -131,6 +131,9 @@ def _fs_digest_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint):
         [msg, jnp.broadcast_to(jnp.asarray(pad), (B, pad.shape[0]))],
         axis=1)
     return sha256_words(padded)
+
+
+_fs_digest_kernel = jax.jit(_fs_digest)
 
 
 def new_proof_of_plaintext_knowledge(
@@ -176,14 +179,19 @@ def check_proof_of_plaintext_knowledge(
     complete limb-ladder kernel (reference-exact for every input).
     Honest proofs hit the fallback only when ct^c or P^DL is genuinely
     the identity (probability ~ 2^-|n| per lane)."""
-    cs = _fiat_shamir(pk, proof.ct, proof.nonce)
     dl_digits, _dl_neg = _signed_digits(proof.dl, pk.n)
-    if pairing_mod.use_rns(pk.dev.rns) and pk.dev.p_win_rns is not None:
-        c_bits, _ = _signed_bits([c % pk.n for c in cs], pk.n)
-        res, suspicious = _pok_verify_rns_kernel(
-            pk.dev, ct.data, proof.nonce.data, c_bits, dl_digits)
-        if not bool(np.asarray(suspicious).any()):
-            return np.asarray(res).astype(bool)
+    rns_ok = (pairing_mod.use_rns(pk.dev.rns)
+              and pk.dev.p_win_rns is not None and pk.dev.ctx.L % 2 == 0)
+    if rns_ok:
+        # fully fused: the Fiat-Shamir digest never leaves the device
+        # and its 256 bits drive the ct^c ladder directly -- valid for
+        # every key since ct^c == ct^(c mod n) as group elements (the
+        # ladder just walks the unreduced exponent).  ONE readback.
+        packed = np.asarray(_pok_verify_fused_kernel(
+            pk.dev, ct.data, proof.ct.data, proof.nonce.data, dl_digits))
+        if not bool((packed >> 1).any()):
+            return (packed & 1).astype(bool)
+    cs = _fiat_shamir(pk, proof.ct, proof.nonce)
     res = _pok_verify_kernel(pk.dev, ct.data, proof.nonce.data,
                              *_signed_bits(cs, pk.n), dl_digits)
     return np.asarray(res).astype(bool)
@@ -204,12 +212,12 @@ def _pok_verify_kernel(dev, ct_pt: cv.AffinePoint, nonce_pt: cv.AffinePoint,
     return cv.eq_affine(lhs, rhs2)
 
 
-@jax.jit
-def _pok_verify_rns_kernel(dev, ct_pt: cv.AffinePoint,
-                           nonce_pt: cv.AffinePoint, c_bits, dl_digits):
+def _pok_verify_rns_core(dev, ct_pt: cv.AffinePoint,
+                         nonce_pt: cv.AffinePoint, c_bits, dl_digits):
     """RNS verify: P^DL (window ladder), ct^c (per-element ladder), and
     the `* nonce` mixed addition all in the RNS domain, with ONE shared
-    Fermat inversion normalizing both sides.  Returns (eq, suspicious).
+    Fermat inversion normalizing both sides.  Returns packed uint32
+    (bit 0 = eq, bit 1 = suspicious) -- one readback carries both.
 
     Degeneracy detection is by CANONICAL-limb zero test on the final Z
     of each side: every degenerate incomplete addition produces
@@ -241,4 +249,21 @@ def _pok_verify_rns_kernel(dev, ct_pt: cv.AffinePoint,
     aff = rp.normalize_rns(ctx, rns, Xs, Ys, Zs)
     lhs = cv.AffinePoint(aff.x[:, :B], aff.y[:, :B], aff.inf[:B])
     rhs = cv.AffinePoint(aff.x[:, B:], aff.y[:, B:], aff.inf[B:])
-    return cv.eq_affine(lhs, rhs), suspicious
+    eq = cv.eq_affine(lhs, rhs).astype(jnp.uint32)
+    return eq | (suspicious.astype(jnp.uint32) << 1)
+
+
+@jax.jit
+def _pok_verify_fused_kernel(dev, ct_pt: cv.AffinePoint,
+                             fs_ct_pt: cv.AffinePoint,
+                             nonce_pt: cv.AffinePoint, dl_digits):
+    """Verify with the Fiat-Shamir transform fused in: the challenge
+    digest is computed on device (_fs_digest) and its 256 bits unpack
+    straight into the ct^c ladder.  Valid only when n > 2^256 (then
+    c mod n == c); the caller guards.  One readback per verify."""
+    words = _fs_digest(dev, fs_ct_pt, nonce_pt)        # [B, 8]
+    B = words.shape[0]
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    c_bits = bits.reshape(B, 256).T                    # [256, B] MSB-first
+    return _pok_verify_rns_core(dev, ct_pt, nonce_pt, c_bits, dl_digits)
