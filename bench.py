@@ -351,35 +351,43 @@ def bench_gadgets(pk, sk, rng, iters, batch=256):
     from bgn_tpu import gadgets
     from bgn_tpu.models import encrypted_dot as ed
 
-    vs = [rng.randrange(pk.n) % MSG_SPACE for _ in range(batch)]
-    zs = [rng.randrange(pk.n) for _ in range(batch)]
-    proof = gadgets.new_proof_of_plaintext_knowledge(pk, sk, vs, zs,
-                                                     rng=rng)
-    ct = proof.ct
-    record("ProofOfPlaintextKnowledgeGen",
-           timed(lambda: gadgets.new_proof_of_plaintext_knowledge(
-                     pk, sk, vs, zs, rng=rng),
-                 lambda p: mat_ct(p.ct), max(1, iters // 2),
-                 batch * max(1, iters // 2)), batch, 4)
-    ok = gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof)
-    assert bool(ok.all()), "PoK verify rejected a valid proof"
-    record("ProofOfPlaintextKnowledgeVerify",
-           timed(lambda: gadgets.check_proof_of_plaintext_knowledge(
-                     pk, ct, proof),
-                 lambda o: int(np.asarray(o).sum()), max(1, iters // 2),
-                 batch * max(1, iters // 2)), batch, 4)
+    for B in (batch, 2048):
+        sfx = "" if B == batch else f"_{B}"
+        vs = [rng.randrange(pk.n) % MSG_SPACE for _ in range(B)]
+        zs = [rng.randrange(pk.n) for _ in range(B)]
+        proof = gadgets.new_proof_of_plaintext_knowledge(pk, sk, vs, zs,
+                                                         rng=rng)
+        ct = proof.ct
+        record(f"ProofOfPlaintextKnowledgeGen{sfx}",
+               timed(lambda: gadgets.new_proof_of_plaintext_knowledge(
+                         pk, sk, vs, zs, rng=rng),
+                     lambda p: mat_ct(p.ct), max(1, iters // 2),
+                     B * max(1, iters // 2)), B, 4)
+        ok = gadgets.check_proof_of_plaintext_knowledge(pk, ct, proof)
+        assert bool(ok.all()), "PoK verify rejected a valid proof"
+        record(f"ProofOfPlaintextKnowledgeVerify{sfx}",
+               timed(lambda: gadgets.check_proof_of_plaintext_knowledge(
+                         pk, ct, proof),
+                     lambda o: int(np.asarray(o).sum()),
+                     max(1, iters // 2), B * max(1, iters // 2)), B, 4,
+               "" if B == batch else
+               "tunnel round-trip latency amortized at this batch")
 
-    # encrypted dot product: D-element vectors, batch columns
-    D, B = 16, 128
-    xs = np.array([[rng.randrange(8) for _ in range(B)] for _ in range(D)])
-    ys = np.array([[rng.randrange(8) for _ in range(B)] for _ in range(D)])
-    ct_x = pk.encrypt(xs.ravel().tolist(), rng=rng).reshape((D, B))
-    ct_y = pk.encrypt(ys.ravel().tolist(), rng=rng).reshape((D, B))
-    mat_ct(ct_x), mat_ct(ct_y)
-    record("EncryptedDot_d16",
-           timed(lambda: ed.encrypted_dot(pk, ct_x, ct_y), mat_ct,
-                 max(1, iters // 4), B * max(1, iters // 4)), B, 4,
-           f"{D}-element dot -> {D} pairings + GT reduce per item")
+    # encrypted dot product: D-element vectors, batch columns (the
+    # second batch fills the chip: 8192 Miller loops per launch)
+    for D, B in ((16, 128), (16, 512)):
+        xs = np.array([[rng.randrange(8) for _ in range(B)]
+                       for _ in range(D)])
+        ys = np.array([[rng.randrange(8) for _ in range(B)]
+                       for _ in range(D)])
+        ct_x = pk.encrypt(xs.ravel().tolist(), rng=rng).reshape((D, B))
+        ct_y = pk.encrypt(ys.ravel().tolist(), rng=rng).reshape((D, B))
+        mat_ct(ct_x), mat_ct(ct_y)
+        record(f"EncryptedDot_d{D}_b{B}",
+               timed(lambda: ed.encrypted_dot(pk, ct_x, ct_y), mat_ct,
+                     max(1, iters // 4), B * max(1, iters // 4)), B, 4,
+               f"{D}-element dot: {D} fused Miller loops + ONE final "
+               "exp per item")
 
 
 def bench_multichip(pk, sk, tables, rng, iters):

@@ -32,6 +32,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("BGN_TPU_RNS_MILLER", "1")
 
 import jax
@@ -225,9 +227,9 @@ def main():
     n_enc_rmul = (Jp + Jq) * RMUL["pt_add"]
     t = timeit(lambda: _encrypt_kernel(dev, m_digits, m_neg, r_digits),
                lambda o: np.asarray(o.x[0]).sum(), iters=4)
-    rows.append(Row("encrypt (2 window ladders)", t, B, n_enc_rmul,
+    rows.append(Row("encrypt (fused dual ladder)", t, B, n_enc_rmul,
                     2 * (Jp + Jq) * state_b,
-                    "gathered table rows stream HBM->VMEM"))
+                    "in-kernel one-hot MXU table select; knee at 8192"))
     jax.clear_caches()
 
     # --- render ---
