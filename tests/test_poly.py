@@ -203,7 +203,9 @@ def test_poly_batch_ops_match_per_poly(keypair):
                 assert np.array_equal(np.asarray(lane.ct.data.y),
                                       np.asarray(single.ct.data.y))
         ev_s = polyct.eval_poly(pk, s)
-        assert np.array_equal(np.asarray(ev_b.data.x[:, b]),
+        # eval_poly's add tree collapses the coefficient axis to 1:
+        # batch output shape (1, B), single (1,)
+        assert np.array_equal(np.asarray(ev_b.data.x[:, 0, b]),
                               np.asarray(ev_s.data.x[:, 0]))
     # decrypted semantics of the batch (values squared / doubled / *-2)
     got_prod = polyct.decrypt_poly_batch(sk, prod_b, pk, tables)
