@@ -46,15 +46,15 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """XLA:CPU sporadically segfaults in backend_compile after many large
-    compilations accumulate in one process (seen in full-suite runs; every
-    file passes standalone).  Dropping compiled executables between test
-    modules keeps the process lean.  `make test` additionally runs each
-    file in its own process as the fully isolated path."""
-    yield
-    jax.clear_caches()
+# NOTE (r5): the per-module autouse jax.clear_caches() that lived here
+# is gone.  It existed for sporadic XLA:CPU SIGABRTs in backend_compile;
+# those coincided with a persistent cache populated on a DIFFERENT
+# machine (cpu_aot_loader logged feature-mismatch loads that "could lead
+# to execution errors such as SIGILL").  With the cache rebuilt on this
+# host the crashes have not reproduced, and the clear was the single
+# largest suite cost: each of ~15 modules re-traced the whole shared
+# kernel set (~10-20s python tracing per large kernel).  Mode-flip tests
+# now clear surgically via tests/_kernels.clear_mode_kernels.
 
 
 @pytest.fixture(scope="session")

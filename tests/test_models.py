@@ -1,7 +1,5 @@
 """Flagship model workloads: encrypted dot product + private aggregation."""
 
-import random
-
 import pytest
 
 from bgn_tpu import scheme
@@ -84,12 +82,12 @@ def test_encrypted_dot_rns_matches_xla(monkeypatch, shared_keypair64,
     ct_y = pk.encrypt(y)
     base = encrypted_dot.encrypted_dot(pk, ct_x, ct_y)
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
-    jax_clear = __import__("jax").clear_caches
-    jax_clear()
+    from _kernels import clear_mode_kernels
+    clear_mode_kernels()
     try:
         got = encrypted_dot.encrypted_dot(pk, ct_x, ct_y)
     finally:
-        jax_clear()
+        clear_mode_kernels()
     assert np.array_equal(np.asarray(base.data), np.asarray(got.data))
     vals, ok = sk.decrypt_with_status(base, pk, shared_tables64)
     assert ok[0] and int(vals[0]) == sum(a * b for a, b in zip(x, y))

@@ -8,9 +8,10 @@ PowBig semantics, bgn.go:294-314, 222-223)."""
 
 import random
 
-import jax
 import numpy as np
 import pytest
+
+from _kernels import clear_mode_kernels
 
 from bgn_tpu import scheme
 from bgn_tpu.fieldcore import limbs as lb
@@ -71,7 +72,7 @@ def test_pairing_naf_matches_binary(mode, monkeypatch, keyrng):
     monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
     z_bits = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_bits, dev.l_bits)
     monkeypatch.setattr(rp, "_PALLAS_MODE", mode)
-    jax.clear_caches()
+    clear_mode_kernels()
     z_naf = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_naf, dev.l_bits)
     np.testing.assert_array_equal(np.asarray(z_bits), np.asarray(z_naf))
 
@@ -88,7 +89,7 @@ def test_ladders_naf_match_binary(mode, monkeypatch, keyrng):
     ref = cv.normalize(dev.ctx, cv.JacPoint(
         *rp.scalar_mul_rns(dev.ctx, dev.rns, a, sk.q1_bits)))
     monkeypatch.setattr(rp, "_PALLAS_MODE", mode)
-    jax.clear_caches()
+    clear_mode_kernels()
     got = cv.normalize(dev.ctx, cv.JacPoint(
         *rp.scalar_mul_rns(dev.ctx, dev.rns, a, sk.q1_naf)))
     np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(got.x))
@@ -102,7 +103,7 @@ def test_ladders_naf_match_binary(mode, monkeypatch, keyrng):
     monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
     w_ref = rp.fp2_pow_rns(dev.ctx, dev.rns, z, sk.q1_bits)
     monkeypatch.setattr(rp, "_PALLAS_MODE", mode)
-    jax.clear_caches()
+    clear_mode_kernels()
     w_naf = rp.fp2_pow_rns(dev.ctx, dev.rns, z, sk.q1_naf, unitary=True)
     np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_naf))
 

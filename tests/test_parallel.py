@@ -4,9 +4,9 @@ lacks entirely (SURVEY.md §2.3)."""
 
 import random
 
-import jax
-import numpy as np
 import pytest
+
+from _kernels import clear_mode_kernels
 
 from bgn_tpu import scheme
 from bgn_tpu.parallel import make_mesh, replicate, shard_ciphertext
@@ -93,7 +93,7 @@ def test_giant_step_sharded_rns_matches_single_chip(monkeypatch,
     incl. zero / negative / out-of-range lanes."""
     from bgn_tpu.ops import pairing as pairing_mod
 
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     rng = random.Random(64)
     pk, sk = shared_keypair64
@@ -113,7 +113,7 @@ def test_giant_step_sharded_rns_matches_single_chip(monkeypatch,
     v2, ok2 = sh.decrypt_g1_sharded(pk, sk, tables, ct, mesh)
     w2, okw2 = sh.decrypt_gt_sharded(pk, sk, tables, l2, mesh)
     b2, okb2 = sh.decrypt_gt_sharded(pk, sk, tables, big, mesh)
-    jax.clear_caches()
+    clear_mode_kernels()
 
     assert list(v1) == list(v2) == ms
     assert list(ok1) == list(ok2) == [True] * len(ms)

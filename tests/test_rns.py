@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from _kernels import clear_mode_kernels
+
 from bgn_tpu.fieldcore import limbs as lb
 from bgn_tpu.fieldcore import montgomery as mg
 from bgn_tpu.fieldcore import rns as rn
@@ -162,7 +164,6 @@ def test_rns_encrypt_matches_limb(monkeypatch, shared_keypair64):
     """The RNS fixed-base window ladder (fixed_base_mul_rns) produces
     bit-identical ciphertexts to the limb path, incl. m=0 / r=0 lanes
     (identity handling is flag-based)."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
 
@@ -172,11 +173,11 @@ def test_rns_encrypt_matches_limb(monkeypatch, shared_keypair64):
     a1 = pk.encrypt_with_randomness(ms, rs)
     d1 = pk.encrypt_deterministic(ms)
 
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     a2 = pk.encrypt_with_randomness(ms, rs)
     d2 = pk.encrypt_deterministic(ms)
-    jax.clear_caches()
+    clear_mode_kernels()
 
     for u, v in ((a1, a2), (d1, d2)):
         np.testing.assert_array_equal(np.asarray(u.data.x),
@@ -191,7 +192,6 @@ def test_rns_add_complete_matches_limb(monkeypatch, shared_keypair64):
     """add_complete_rns (the L1 Add/Sub fast path, VERDICT r4 weak #4)
     is bit-identical to the complete limb madd on every edge: generic
     a+b, a+a (doubling), a+(-a) (identity), O+b, a+O, O+O."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
 
@@ -206,12 +206,12 @@ def test_rns_add_complete_matches_limb(monkeypatch, shared_keypair64):
     cases = [(a, b), (a, a), (a, na), (o, b), (a, o), (o, o)]
     base = [pk.add(u, v) for u, v in cases]
 
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     try:
         got = [pk.add(u, v) for u, v in cases]
     finally:
-        jax.clear_caches()
+        clear_mode_kernels()
     for u, v in zip(base, got):
         np.testing.assert_array_equal(np.asarray(u.data.x),
                                       np.asarray(v.data.x))
@@ -240,7 +240,7 @@ def test_rns_loop_kernels_match_xla(monkeypatch, shared_keypair64):
     # full pairing: Miller whole-loop + F_p/F_p^2 pow loops
     monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
     z_ref = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_bits, dev.l_bits)
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
     z_loop = rp.pairing_rns(dev.ctx, dev.rns, a, b, dev.n_bits, dev.l_bits)
     np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_loop))
@@ -259,7 +259,7 @@ def test_rns_loop_kernels_match_xla(monkeypatch, shared_keypair64):
     monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
     gotw = rp.fixed_base_mul_rns(dev.ctx, dev.rns, dev.p_win_rns,
                                  dev.p_win.inf, dj)
-    jax.clear_caches()
+    clear_mode_kernels()
     for u, v in zip(refw, gotw):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
 
@@ -268,7 +268,6 @@ def test_rns_decrypt_matches_limb(monkeypatch, shared_keypair64,
                                   shared_tables64):
     """RNS decrypt ladders (scalar_mul_rns / fp2_pow_rns) produce the
     same decrypts as the limb path at both levels, incl. zero/negatives."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
 
@@ -283,11 +282,11 @@ def test_rns_decrypt_matches_limb(monkeypatch, shared_keypair64,
     w1, okw1 = sk.decrypt_with_status(l2, pk, tables)
 
     # the dispatch is trace-time: drop cached traces before flipping mode
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     v2, ok2 = sk.decrypt_with_status(ct, pk, tables)
     w2, okw2 = sk.decrypt_with_status(l2, pk, tables)
-    jax.clear_caches()
+    clear_mode_kernels()
 
     assert list(v1) == list(v2) == ms
     assert list(ok1) == list(ok2) == [True] * len(ms)
@@ -302,7 +301,6 @@ def test_rns_mult_const_matches_limb(monkeypatch, shared_keypair64,
     both levels, over adversarial constants: 0, +-1, +-2, k == 0 mod n
     (order multiples), k = n - 1, and identity-base lanes (VERDICT r3
     item 3; reference MultConst semantics bgn.go:253-291)."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
 
@@ -319,12 +317,12 @@ def test_rns_mult_const_matches_limb(monkeypatch, shared_keypair64,
     d1 = pk.mult_const(det, ks)
     w1 = pk.mult_const(l2, ks)
 
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     a2 = pk.mult_const(ct, ks)
     d2 = pk.mult_const(det, ks)
     w2 = pk.mult_const(l2, ks)
-    jax.clear_caches()
+    clear_mode_kernels()
 
     for u, v in ((a1, a2), (d1, d2)):
         np.testing.assert_array_equal(np.asarray(u.data.x),
@@ -337,7 +335,7 @@ def test_rns_mult_const_matches_limb(monkeypatch, shared_keypair64,
 
     # semantics vs decrypt: k*m mod n, negatives via the failsafe retry
     tables = shared_tables64
-    jax.clear_caches()
+    clear_mode_kernels()
     got = sk.decrypt_failsafe(a2, pk, tables)
     want = []
     for m, k in zip(ms, ks):
@@ -352,20 +350,19 @@ def test_rns_mult_const_wide_exponent_falls_back(monkeypatch,
     """Exponents ~ n bits exceed the vec-ladder safety bound
     (2^nbits < min(q1, q2)) and must route through the complete limb
     ladder, still giving correct results."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
 
     rng = random.Random(53)
     pk, sk = shared_keypair64
     tables = shared_tables64
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     ms = [2, 3, 5]
     ct = pk.encrypt(ms, rng=rng)
     # k = n - 1 == -1 (mod n): nbits ~ 64 > key_bits//2 - 2 -> limb path
     got = sk.decrypt_failsafe(pk.mult_const(ct, int(pk.n - 1)), pk, tables)
-    jax.clear_caches()
+    clear_mode_kernels()
     assert list(got) == [-2, -3, -5]
 
 
@@ -375,7 +372,6 @@ def test_fused_dual_ladder_encrypt_matches_split(monkeypatch,
     window chains + the g +- h combine in one kernel) produces
     bit-identical ciphertexts to the split XLA path, incl. m = 0, r = 0,
     m < 0 and (m, r) = (0, 0) identity lanes."""
-    import jax
 
     from bgn_tpu.ops import pairing as pairing_mod
     from bgn_tpu.ops import rns_pairing as rp
@@ -387,12 +383,12 @@ def test_fused_dual_ladder_encrypt_matches_split(monkeypatch,
 
     monkeypatch.setattr(pairing_mod, "_RNS_MODE", "1")
     monkeypatch.setattr(rp, "_PALLAS_MODE", "0")
-    jax.clear_caches()
+    clear_mode_kernels()
     a1 = pk.encrypt_with_randomness(ms, rs)
-    jax.clear_caches()
+    clear_mode_kernels()
     monkeypatch.setattr(rp, "_PALLAS_MODE", "loop-interpret")
     a2 = pk.encrypt_with_randomness(ms, rs)
-    jax.clear_caches()
+    clear_mode_kernels()
 
     np.testing.assert_array_equal(np.asarray(a1.data.x),
                                   np.asarray(a2.data.x))
