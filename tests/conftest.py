@@ -32,7 +32,10 @@ if not os.environ.get("BGN_TPU_NO_CACHE"):
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache_cpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # 0.5s threshold: the suite's cost is ~100 per-process kernel
+    # first-calls; at the old 5.0s floor the dozens of 2-4s compiles
+    # were never cached and re-compiled every run (r5 suite analysis)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_collection_modifyitems(config, items):
@@ -46,15 +49,34 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
-# NOTE (r5): the per-module autouse jax.clear_caches() that lived here
-# is gone.  It existed for sporadic XLA:CPU SIGABRTs in backend_compile;
-# those coincided with a persistent cache populated on a DIFFERENT
-# machine (cpu_aot_loader logged feature-mismatch loads that "could lead
-# to execution errors such as SIGILL").  With the cache rebuilt on this
-# host the crashes have not reproduced, and the clear was the single
-# largest suite cost: each of ~15 modules re-traced the whole shared
-# kernel set (~10-20s python tracing per large kernel).  Mode-flip tests
-# now clear surgically via tests/_kernels.clear_mode_kernels.
+# Modules whose shard_map / wide-key compiles are the big-allocation
+# storms behind XLA:CPU's sporadic backend_compile SIGABRT (r5
+# re-confirmed: with no hygiene at all a worker crashed in
+# test_parallel; every file passes standalone).
+_HEAVY_COMPILE_MODULES = {
+    "test_parallel", "test_pipeline", "test_multihost",
+    "test_largekey", "test_large_msgspace",
+}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_around_heavy_modules(request):
+    """Targeted cache hygiene (r5).  The old per-module
+    jax.clear_caches() forced EVERY module to re-pay each kernel's
+    first-call cost (2-14s of tracing + persistent-cache load per
+    kernel; warm execution is milliseconds) -- the dominant term of the
+    18-21-minute suite.  Clearing only around the heavy-compile modules
+    protects their big compiles from accumulated executables while the
+    light modules share one warm kernel set per worker.  Mode-flip
+    tests additionally clear surgically via
+    tests/_kernels.clear_mode_kernels."""
+    heavy = request.module.__name__.rsplit(".", 1)[-1] \
+        in _HEAVY_COMPILE_MODULES
+    if heavy:
+        jax.clear_caches()
+    yield
+    if heavy:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
@@ -80,16 +102,25 @@ def shared_tables64(shared_keypair64):
 
 @pytest.fixture(scope="session")
 def shared_keypair():
-    """ONE 160-bit keypair + decrypt tables shared across test modules
-    (VERDICT r3 item 8): MontCtx.p_host is a static pytree field, so the
-    jit AND persistent caches are keyed by key VALUE -- per-module random
-    keys defeated both and re-traced every kernel per module.  Reference
-    test constants otherwise (bgn_test.go:8-13, at 160-bit for CPU
-    speed)."""
+    """ONE keypair + decrypt tables shared across test modules (VERDICT
+    r3 item 8): MontCtx.p_host is a static pytree field, so the jit AND
+    persistent caches are keyed by key VALUE -- per-module random keys
+    defeated both and re-traced every kernel per module.
+
+    r5: 64-bit (L = 6 limbs), the SAME underlying key as
+    shared_keypair64 (identical rng stream; msg_space only guards the
+    prime sizes and sets the BSGS bound), so the two fixtures share ONE
+    kernel trace/compile set.  Tracing cost of the unrolled-CIOS kernel
+    graphs scales ~L^2 -- the old 160-bit key (L = 12) made every
+    scheme-level test pay 20-80s of pure-Python tracing (the dominant
+    term of the 18-21-minute suite).  Reference msg_space otherwise
+    (bgn_test.go:8-13: 1021); full-width realism lives in
+    test_reference_constants (512-bit end-to-end) and test_largekey
+    (1024-bit, slow-gated)."""
     import random
 
     from bgn_tpu import scheme
-    rng = random.Random(1602024)
-    pk, sk = scheme.keygen(160, 1021, rng=rng)
+    rng = random.Random(5)
+    pk, sk = scheme.keygen(64, 1021, rng=rng)
     tables = pk.setup_decryption(sk, rng=rng)
     return pk, sk, tables

@@ -33,7 +33,7 @@ def test_validation():
 
 def test_keygen_and_mesh():
     p = BGNParams(key_bits=64, msg_space=101)
-    pk, sk = p.keygen(rng=random.Random(9))
+    pk, sk = p.keygen(rng=random.Random(5))   # shared key value (conftest)
     assert pk.n == sk.a1_params.n
     mesh = p.make_mesh()            # 8 CPU devices under conftest
     assert mesh is not None and mesh.shape[p.mesh_axis] == 8

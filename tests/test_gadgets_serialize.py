@@ -9,7 +9,7 @@ import pytest
 from bgn_tpu import encoding, gadgets, polyct, scheme, serialize
 from bgn_tpu.utils import convert
 
-KEY_BITS = 160
+KEY_BITS = 64   # shared_keypair width (see conftest r5 note)
 MSG_SPACE = 1021
 
 

@@ -5,7 +5,7 @@ import pytest
 from bgn_tpu import scheme
 from bgn_tpu.models import aggregation, encrypted_dot
 
-KEY_BITS = 160
+KEY_BITS = 64   # shared_keypair width (see conftest r5 note)
 MSG_SPACE = 1021
 
 
@@ -102,10 +102,15 @@ def test_aggregate_scales_on_trace(keypair):
     total = aggregation.aggregate(pk, ct)
     vals, ok = sk.decrypt_with_status(total, pk, tables)
     assert ok[0] and int(vals[0]) == sum(xs)
-    l2 = pk.make_l2(pk.encrypt(xs))
+    # L2 path at the standard batch (8): the claim under test is the
+    # reduction's O(1) trace, already proven by N=64 above; running
+    # make_l2 (a pairing) at a unique batch-64 shape would only buy a
+    # one-off 40s XLA:CPU compile
+    xs8 = xs[:8]
+    l2 = pk.make_l2(pk.encrypt(xs8))
     total2 = aggregation.aggregate(pk, l2)
     vals2, ok2 = sk.decrypt_with_status(total2, pk, tables)
-    assert ok2[0] and int(vals2[0]) == sum(xs)
+    assert ok2[0] and int(vals2[0]) == sum(xs8)
 
 
 def test_aggregate_l1(keypair):

@@ -12,7 +12,7 @@ from bgn_tpu import scheme
 from bgn_tpu.parallel import make_mesh, replicate, shard_ciphertext
 from bgn_tpu.parallel import sharded as sh
 
-KEY_BITS = 160
+KEY_BITS = 64   # shared_keypair width (see conftest r5 note)
 MSG_SPACE = 1021
 
 

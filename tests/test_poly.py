@@ -6,7 +6,7 @@ import pytest
 
 from bgn_tpu import encoding, polyct, scheme
 
-KEY_BITS = 160
+KEY_BITS = 64   # shared_keypair width (see conftest r5 note)
 MSG_SPACE = 1021
 # reference test constants: POLYBASE=3, FPSCALEBASE=3, FPPREC=0.0001
 # (bgn_test.go:8-13)

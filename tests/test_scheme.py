@@ -13,7 +13,7 @@ from bgn_tpu import hostmath as hm
 from bgn_tpu import scheme
 from bgn_tpu.utils import convert
 
-KEY_BITS = 160
+KEY_BITS = 64   # shared_keypair width (see conftest r5 note)
 MSG_SPACE = 1021
 
 
@@ -161,7 +161,10 @@ def test_truth_tables(keypair):
 def test_randomized_mode():
     """Deterministic=false paths (bgn.go:260-268, 302-311, 462-475):
     re-randomized results still decrypt correctly and ciphertexts differ."""
-    rng = random.Random(77)
+    # SAME seed as conftest.shared_keypair: identical key material (the
+    # deterministic flag is host-side only), so the ladder/pairing
+    # kernel caches are shared instead of recompiling for a fresh prime
+    rng = random.Random(5)
     pk, sk = scheme.keygen(KEY_BITS, MSG_SPACE, deterministic=False, rng=rng)
     tables = pk.setup_decryption(sk, rng=rng)
     a = pk.encrypt([5, 9], rng=rng)
